@@ -1,0 +1,247 @@
+"""Power-iteration PageRank with dangling-node "lumping".
+
+Spark-first re-expression of the reference's BSP loop
+(/root/reference MainPR.java:137-197, RunLumpPrRoundTask.java:49-116,
+Vertex.java:65-67). Semantics are trajectory-exact (SURVEY.md §2.3):
+
+  * per-vertex formula  PR'(v) = (1-d)/N + d*gather(v) + d*danglingPR/N
+  * only non-dangling (out_deg != 0) vertices update each round; dangling
+    vertices are frozen at 1/N until one final restore pass
+  * round 1 uses danglingPR = 1/N (reference ingest quirk,
+    MetaChunk.java:20); afterwards danglingPR = 1 - sum(updated ranks)
+  * stop when the L1 delta over non-dangling vertices <= threshold
+  * duplicate edges count (file-ingest multiplicity)
+
+Physical design (SURVEY.md §4.3) — what each superstep costs at scale:
+
+  * ``adj(src, dst, w=1/out_deg)`` is built once, hash-partitioned by
+    ``src`` and persisted: the 100-TB side never moves again.
+  * Each round shuffles only the rank table (16 bytes/vertex) to the
+    adj partitioning for the gather join, then a partial/final hash agg
+    by ``dst`` (map-side combine keeps the exchange at ~|V|, not |E|).
+  * The dangling scalar is a driver literal folded into the projection
+    (Catalyst constant-folds (1-d)/N and d*dangling/N) — the whole
+    point of lumping: no per-vertex dangling join, ever.
+  * One action per round (the sum/L1 aggregate) doubles as the BSP
+    barrier, exactly like the reference master's poll loop
+    (MainPR.java:148-161).
+  * Lineage is truncated every round via localCheckpoint (else the
+    logical plan grows O(rounds) and Catalyst analysis dominates);
+    a durable CheckpointManager (plans/checkpoint.py) adds resume.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (id, rank) over the full vertex universe
+    rounds: int
+    converged: bool
+    errors: list[float] = field(default_factory=list)
+    dangling_mass: list[float] = field(default_factory=list)
+    round_ms: list[int] = field(default_factory=list)
+    num_vertices: int = 0
+    num_edges: int = 0
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """(src, dst)* -> (id, out_deg) for vertices with out_deg >= 1.
+    Counts multiplicity (ReadLumpInEdgeListTask.java:69-71)."""
+    return edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+
+
+def in_degrees(edges: DataFrame) -> DataFrame:
+    return edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("in_deg")
+    )
+
+
+def vertex_universe(
+    spark: SparkSession,
+    edges: DataFrame,
+    num_vertices: int | None = None,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """The vertex id set: explicit df > contiguous range > edge endpoints.
+    The reference always knows N up front (MainPR.java:45); an edge table
+    alone cannot see fully isolated vertices, so callers with isolated
+    vertices must pass one of the first two."""
+    if vertices is not None:
+        return vertices.select("id")
+    if num_vertices is not None:
+        return spark.range(num_vertices).select(F.col("id"))
+    return (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    num_vertices: int | None = None,
+    vertices: DataFrame | None = None,
+    damping: float = 0.85,
+    threshold: float = 1e-3,
+    max_rounds: int = 50,
+    num_partitions: int | None = None,
+    checkpoint_manager=None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
+) -> PageRankResult:
+    """Run reference-semantics PageRank over an edge DataFrame.
+
+    checkpoint_manager: optional plans.checkpoint.CheckpointManager; when
+    given, every ``checkpoint_interval`` rounds the rank table + a metrics
+    row are written durably; with resume=True the loop continues from the
+    latest persisted iteration (FIXTURES.md F6 contract).
+    """
+    num_partitions = num_partitions or spark.sparkContext.defaultParallelism
+
+    verts = vertex_universe(spark, edges, num_vertices, vertices)
+    deg = out_degrees(edges)
+
+    # adj: the big, immutable side — partitioned once by the join key.
+    adj = (
+        edges.join(deg, edges.src == deg.id)
+        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+        .repartition(num_partitions, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    num_edges = adj.count()  # materialize the partitioned adjacency
+
+    nd_ids = deg.select("id")  # non-dangling vertex ids (out_deg >= 1)
+    n = verts.count() if num_vertices is None else num_vertices
+
+    # Dangling vertices and the slice of adj feeding them (restore pass).
+    dang = verts.join(nd_ids, "id", "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+    adj_to_dang = (
+        adj.join(dang, adj.dst == dang.id, "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    inv_n = 1.0 / n
+    result = PageRankResult(
+        ranks=None, rounds=0, converged=False, num_vertices=n, num_edges=num_edges
+    )
+
+    start_round = 0
+    dangling = inv_n  # round-1 quirk (MetaChunk.java:20)
+    ranks = None
+    if resume and checkpoint_manager is not None:
+        restored = checkpoint_manager.latest(spark)
+        if restored is not None:
+            ranks, meta = restored
+            ranks = ranks.repartition(num_partitions, "id").localCheckpoint(eager=True)
+            start_round = meta["iteration"]
+            dangling = meta["dangling_mass"]
+            result.errors = meta.get("errors", [])
+            result.dangling_mass = meta.get("dangling_masses", [])
+            result.rounds = start_round
+            result.converged = bool(
+                result.errors and result.errors[-1] <= threshold
+            )
+    if ranks is None:
+        ranks = (
+            nd_ids.withColumn("rank", F.lit(inv_n))
+            .repartition(num_partitions, "id")
+            .localCheckpoint(eager=True)
+        )
+
+    if not result.converged:
+        for i in range(start_round, max_rounds):
+            t0 = time.monotonic()
+            contribs = (
+                adj.join(ranks, adj.src == ranks.id)
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+            )
+            updated = (
+                ranks.alias("r")
+                .join(contribs.alias("c"), F.col("r.id") == F.col("c.dst"), "left")
+                .select(
+                    F.col("r.id").alias("id"),
+                    F.col("r.rank").alias("old_rank"),
+                    (
+                        F.lit((1.0 - damping) * inv_n)
+                        + F.lit(damping) * F.coalesce(F.col("c.contrib"), F.lit(0.0))
+                        + F.lit(damping * dangling * inv_n)
+                    ).alias("rank"),
+                )
+                # truncate lineage + materialize: this is the superstep barrier
+                .localCheckpoint(eager=True)
+            )
+            row = updated.agg(
+                F.sum("rank").alias("pr_sum"),
+                F.sum(F.abs(F.col("rank") - F.col("old_rank"))).alias("err"),
+            ).collect()[0]
+            # empty non-dangling set -> NULL sums; reference semantics:
+            # no updates, PRerr=0, PRsum=0 (empty DoubleAdder) -> converge.
+            err = float(row["err"]) if row["err"] is not None else 0.0
+            pr_sum = float(row["pr_sum"]) if row["pr_sum"] is not None else 0.0
+            dangling = 1.0 - pr_sum  # mass by conservation (MainPR.java:156-161)
+
+            old = ranks
+            ranks = updated.select("id", "rank")
+            if old is not updated:
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
+
+            result.rounds = i + 1
+            result.errors.append(err)
+            result.dangling_mass.append(dangling)
+            result.round_ms.append(int((time.monotonic() - t0) * 1000))
+
+            if checkpoint_manager is not None and (
+                (i + 1) % checkpoint_interval == 0 or err <= threshold
+            ):
+                checkpoint_manager.save(
+                    ranks,
+                    iteration=i + 1,
+                    l1_err=err,
+                    pr_sum=pr_sum,
+                    dangling_mass=dangling,
+                    wall_ms=result.round_ms[-1] if result.round_ms else 0,
+                    n_partitions=num_partitions,
+                    errors=result.errors,
+                    dangling_masses=result.dangling_mass,
+                )
+
+            if err <= threshold:
+                result.converged = True
+                break
+
+    # Final restore pass (MainPR.java:185-197): dangling vertices computed
+    # once from converged neighbor ranks + the last dangling mass.
+    d_contribs = (
+        adj_to_dang.join(ranks, adj_to_dang.src == ranks.id)
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+    )
+    dang_ranks = (
+        dang.alias("v")
+        .join(d_contribs.alias("c"), F.col("v.id") == F.col("c.dst"), "left")
+        .select(
+            F.col("v.id").alias("id"),
+            (
+                F.lit((1.0 - damping) * inv_n)
+                + F.lit(damping) * F.coalesce(F.col("c.contrib"), F.lit(0.0))
+                + F.lit(damping * dangling * inv_n)
+            ).alias("rank"),
+        )
+    )
+    result.ranks = ranks.select("id", "rank").unionByName(dang_ranks)
+    return result

@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+One place for every config knob so tests / bench / driver smoke all get
+the same tuned session. Local mode here; on a real cluster the same
+builder args apply (minus master) via spark-submit --conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "dxa_pagerank_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the engine.
+
+    - AQE on (coalescing, skew-join): runtime re-plan is our backstop for
+      graph skew (hub vertices) on top of explicit salting.
+    - Arrow on: every Python-side kernel is a vectorized pandas UDF.
+    - shuffle.partitions defaults to the core count: the iterative graph
+      loops re-shuffle small rank tables every superstep, and 200 tiny
+      tasks per superstep is pure scheduler overhead at local scale. On a
+      1000-executor cluster this is instead sized to ~2-3x total cores via
+      extra_conf / spark-submit.
+    - UTC session timezone so DuckDB oracle comparisons are stable.
+    """
+    cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    shuffle_partitions = shuffle_partitions or cores
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cores))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", driver_memory or "48g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,170 @@
+"""Connected components. [north_rule — no reference code]
+
+Two methods, both pure DataFrame programs:
+
+* ``two_phase`` (default): alternating large-star / small-star
+  min-label edge rewriting (Kiveris et al., "Connected Components in
+  MapReduce and Beyond") — O(log^2 n) rounds even on pathological
+  chains; the scale path named by BASELINE.json north_star.
+* ``propagation``: synchronous min-label propagation — O(diameter)
+  rounds, simpler per-round plan; fine for low-diameter web graphs.
+
+Component id = the minimum vertex id in the component (exact-match
+tested against a union-find oracle).
+
+Scale notes: every round is (groupBy min) + (join on the grouping key)
+— partial-aggregated map-side; the working edge set shrinks toward one
+star edge per vertex and is re-materialized per round via
+localCheckpoint to truncate lineage (same discipline as the PageRank
+loop). Self-loops/duplicates are dropped up front — they cannot change
+connectivity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _symmetrize(pairs: DataFrame) -> DataFrame:
+    """(u,v) pair set -> both directions, no self-loops, distinct."""
+    rev = pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    return pairs.union(rev).filter(F.col("u") != F.col("v")).distinct()
+
+
+def _large_star(pairs: DataFrame) -> DataFrame:
+    """large-star(E): over the symmetrized neighborhoods, for each node u
+    let m = min(N(u) ∪ {u}); emit (v, m) for every neighbor v > u."""
+    sym = _symmetrize(pairs)
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+    )
+    return (
+        sym.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(pairs: DataFrame) -> DataFrame:
+    """small-star(E): for each node u over S = {v in N(u) : v < u},
+    m = min(S ∪ {u}) = min(S); emit (x, m) for x in (S \\ {m}) ∪ {u}."""
+    sym = _symmetrize(pairs)
+    small = sym.filter(F.col("v") < F.col("u"))
+    mins = small.groupBy("u").agg(F.min("v").alias("m"))
+    from_nbrs = (
+        small.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    from_self = mins.select("u", F.col("m").alias("v"))
+    return (
+        from_nbrs.union(from_self)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    num_vertices: int | None = None,
+    vertices: DataFrame | None = None,
+    method: str = "two_phase",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """-> components(id, component) over the full vertex universe;
+    isolated vertices are their own component."""
+    from .pagerank import vertex_universe
+
+    verts = vertex_universe(spark, edges, num_vertices, vertices)
+    pairs = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    if method == "two_phase":
+        parents = _two_phase(pairs, max_rounds)
+    elif method == "propagation":
+        parents = _propagation(pairs, max_rounds)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    # parents: (u, root) for every non-isolated, non-root vertex.
+    return (
+        verts.alias("vv")
+        .join(parents.alias("p"), F.col("vv.id") == F.col("p.u"), "left")
+        .select(
+            F.col("vv.id").alias("id"),
+            F.coalesce(F.col("p.v"), F.col("vv.id")).alias("component"),
+        )
+    )
+
+
+def _two_phase(pairs: DataFrame, max_rounds: int) -> DataFrame:
+    edges = pairs
+    for _ in range(max_rounds):
+        after = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # fixpoint: the star edge set is invariant under both phases
+        changed = (
+            after.exceptAll(edges).limit(1).count() > 0
+            or edges.exceptAll(after).limit(1).count() > 0
+        )
+        old = edges
+        edges = after
+        if old is not pairs:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        if not changed:
+            break
+    # at fixpoint every edge points leaf -> component-min root
+    return edges.groupBy("u").agg(F.min("v").alias("v"))
+
+
+def _propagation(pairs: DataFrame, max_rounds: int) -> DataFrame:
+    sym = _symmetrize(pairs).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nbr_min = (
+            sym.join(labels, sym.u == labels.id)
+            .groupBy("v")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.alias("l")
+            .join(nbr_min.alias("n"), F.col("l.id") == F.col("n.v"), "left")
+            .select(
+                F.col("l.id").alias("id"),
+                F.least(
+                    F.col("l.comp"),
+                    F.coalesce(F.col("n.nbr_comp"), F.col("l.comp")),
+                ).alias("comp"),
+                (
+                    F.col("l.comp")
+                    > F.coalesce(F.col("n.nbr_comp"), F.col("l.comp"))
+                ).cast("long").alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = new_labels.agg(F.sum("changed")).collect()[0][0] or 0
+        old = labels
+        labels = new_labels.select("id", "comp")
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+        if n_changed == 0:
+            break
+    return labels.select(F.col("id").alias("u"), F.col("comp").alias("v"))

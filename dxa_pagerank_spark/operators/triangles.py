@@ -1,0 +1,73 @@
+"""Triangle counting via degree-ordered edge orientation + wedge
+closure. [north_rule — no reference code]
+
+Algorithm (the standard MapReduce/Spark formulation of node-iterator++):
+
+  1. undirected simple graph (dedupe, drop self-loops);
+  2. orient every edge from the endpoint with (degree, id)-smaller key
+     to the larger — each triangle then has exactly one "pivot" vertex
+     with two out-edges, so it is counted exactly once;
+  3. wedges: self-join oriented edges on the pivot, keeping the
+     (deg,id)-ordered pair of endpoints;
+  4. close: semi-join wedges against the oriented edge set.
+
+Scale notes: orientation bounds each pivot's out-degree by O(sqrt(E))
+on skewed graphs — the hub vertex of a star graph gets out-degree ~0,
+so the wedge self-join never explodes on super-nodes (this IS the skew
+handling). Joins are equi-joins on vertex keys; AQE skew-join is the
+backstop. ``count`` aggregates map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """-> oriented(src, dst) with (deg,id)-order src < dst, deduped."""
+    from .components import _symmetrize
+
+    sym = _symmetrize(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    with_deg = (
+        sym.join(deg.withColumnRenamed("u", "uu"), sym.u == F.col("uu"))
+        .select("u", "v", F.col("deg").alias("du"))
+        .join(deg.withColumnRenamed("u", "vv"), F.col("v") == F.col("vv"))
+        .select("u", "v", "du", F.col("deg").alias("dv"))
+    )
+    return with_deg.filter(
+        (F.col("du") < F.col("dv"))
+        | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    ).select(
+        F.col("u").alias("src"),
+        F.col("v").alias("dst"),
+        F.col("dv").alias("dst_deg"),
+    )
+
+
+def triangle_count(spark: SparkSession, edges: DataFrame) -> int:
+    """Global triangle count of the undirected simple graph."""
+    o = _oriented(edges).localCheckpoint(eager=True)
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (
+            (F.col("e1.dst_deg") < F.col("e2.dst_deg"))
+            | (
+                (F.col("e1.dst_deg") == F.col("e2.dst_deg"))
+                & (F.col("e1.dst") < F.col("e2.dst"))
+            )
+        ),
+    ).select(F.col("e1.dst").alias("a"), F.col("e2.dst").alias("b"))
+    closing = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    return wedges.join(closing, ["a", "b"], "inner").count()
+
+
+def triangle_count_df(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """1-row DataFrame (n_triangles long) — for the driver contract."""
+    n = triangle_count(spark, edges)
+    return spark.createDataFrame([(n,)], "n_triangles long")

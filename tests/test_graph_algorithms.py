@@ -1,0 +1,122 @@
+"""CC / LPA / triangle-count exact-match tests vs pure-Python oracles
+(SURVEY.md §5.2 item 5). [north_rule operators — no reference code]"""
+
+import numpy as np
+import pytest
+
+from dxa_pagerank_spark.datagen import (
+    FIXTURE_GRAPHS,
+    edges_to_spark,
+    fast_synthetic_edges,
+    hub_graph,
+    parse_in_edge_list,
+)
+from dxa_pagerank_spark.operators.components import connected_components
+from dxa_pagerank_spark.operators.labelprop import label_propagation
+from dxa_pagerank_spark.operators.triangles import triangle_count
+from dxa_pagerank_spark.oracle import (
+    connected_components_oracle,
+    label_propagation_oracle,
+    triangle_count_oracle,
+)
+
+
+def _collect_map(df, key, val, n):
+    got = {r[key]: r[val] for r in df.collect()}
+    assert len(got) == n
+    return np.array([got[i] for i in range(n)], dtype=np.int64)
+
+
+@pytest.mark.parametrize("method", ["two_phase", "propagation"])
+def test_components_fixture(spark, method):
+    n, src, dst = parse_in_edge_list(FIXTURE_GRAPHS["g_components"])
+    expected = connected_components_oracle(n, src, dst)
+    got = connected_components(
+        spark, edges_to_spark(spark, src, dst), num_vertices=n, method=method
+    )
+    np.testing.assert_array_equal(
+        _collect_map(got, "id", "component", n), expected
+    )
+    # 3 components of sizes 6/4/2 per FIXTURES.md F3
+    assert len(set(expected.tolist())) == 3
+
+
+@pytest.mark.parametrize("method", ["two_phase", "propagation"])
+def test_components_random_graphs(spark, method):
+    for seed in (1, 5):
+        n = 300
+        src, dst = fast_synthetic_edges(n, 2, seed)
+        # thin the graph so multiple components exist
+        keep = (src + dst) % 3 != 0
+        src, dst = src[keep], dst[keep]
+        expected = connected_components_oracle(n, src, dst)
+        got = connected_components(
+            spark, edges_to_spark(spark, src, dst), num_vertices=n, method=method
+        )
+        np.testing.assert_array_equal(
+            _collect_map(got, "id", "component", n), expected
+        )
+
+
+def test_components_isolated_vertices(spark):
+    src = np.array([0, 1], dtype=np.int64)
+    dst = np.array([1, 2], dtype=np.int64)
+    got = connected_components(
+        spark, edges_to_spark(spark, src, dst), num_vertices=6
+    )
+    m = _collect_map(got, "id", "component", 6)
+    np.testing.assert_array_equal(m, [0, 0, 0, 3, 4, 5])
+
+
+def test_components_long_chain_two_phase(spark):
+    """Path graph stresses the O(log n) round bound of large/small-star."""
+    n = 64
+    src = np.arange(n - 1, dtype=np.int64)
+    dst = src + 1
+    got = connected_components(
+        spark, edges_to_spark(spark, src, dst), num_vertices=n, method="two_phase"
+    )
+    np.testing.assert_array_equal(
+        _collect_map(got, "id", "component", n), np.zeros(n, dtype=np.int64)
+    )
+
+
+def test_label_propagation_fixture(spark):
+    n, src, dst = parse_in_edge_list(FIXTURE_GRAPHS["g_components"])
+    expected = label_propagation_oracle(n, src, dst, max_rounds=20)
+    got = label_propagation(
+        spark, edges_to_spark(spark, src, dst), num_vertices=n, max_rounds=20
+    )
+    np.testing.assert_array_equal(_collect_map(got, "id", "label", n), expected)
+
+
+def test_label_propagation_random(spark):
+    n = 200
+    src, dst = fast_synthetic_edges(n, 3, seed=9)
+    expected = label_propagation_oracle(n, src, dst, max_rounds=10)
+    got = label_propagation(
+        spark, edges_to_spark(spark, src, dst), num_vertices=n, max_rounds=10
+    )
+    np.testing.assert_array_equal(_collect_map(got, "id", "label", n), expected)
+
+
+def test_triangles_fixture(spark):
+    n, src, dst = parse_in_edge_list(FIXTURE_GRAPHS["g_triangles"])
+    expected = triangle_count_oracle(n, src, dst)
+    assert expected == 5  # K4 (4) + one extra triangle (FIXTURES.md F3)
+    assert triangle_count(spark, edges_to_spark(spark, src, dst)) == expected
+
+
+def test_triangles_random(spark):
+    n = 150
+    src, dst = fast_synthetic_edges(n, 5, seed=3)
+    expected = triangle_count_oracle(n, src, dst)
+    assert expected > 0
+    assert triangle_count(spark, edges_to_spark(spark, src, dst)) == expected
+
+
+def test_triangles_hub_no_blowup(spark):
+    """Star graph: orientation must keep the hub's out-degree tiny."""
+    n, src, dst = hub_graph(501)
+    expected = triangle_count_oracle(n, src, dst)
+    assert triangle_count(spark, edges_to_spark(spark, src, dst)) == expected

@@ -23,6 +23,8 @@ from __future__ import annotations
 import re
 from html.parser import HTMLParser
 
+import pandas as pd
+
 _WS = re.compile(r"\s+")
 _SKIP_TAGS = {"script", "style", "template", "noscript"}
 
@@ -66,7 +68,6 @@ def extract_text(html: bytes | str | None) -> str:
 
 def extract_text_udf():
     """Vectorized pandas UDF: html binary column -> extracted text."""
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 

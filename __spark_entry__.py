@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -> flagship PageRank over sf0.001 lineitem-derived edges.
+queries()     -> operator inventory from SURVEY.md §2 (+ training-data ops).
+oracle_sql()  -> DuckDB-equivalent SQL per query (omitted only for
+                 iterative fixpoints / hash-family-specific ops, which the
+                 pytest suite pins against exact pure-Python oracles).
+
+Column-name + rounding discipline: every computed column is aliased
+identically in Spark and SQL; floating aggregates are rounded (6 dp for
+ranks/ratios, 2-4 dp for money/sums) so engine-vs-DuckDB FP summation
+order cannot flip the value hash.
 """
 
 from __future__ import annotations
@@ -12,27 +17,481 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+DAMPING = 0.85
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical graph projection (FIXTURES.md F5): l_orderkey -> l_suppkey."""
+    return _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("src"),
+        F.col("l_suppkey").cast("long").alias("dst"),
+    )
+
+_EDGES_SQL = "SELECT l_orderkey AS src, l_suppkey AS dst FROM lineitem"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: converged PageRank on sf0.001, top-100 vertices."""
+    from dxa_pagerank_spark.operators.pagerank import pagerank
+
+    edges = _edges(spark, "/root/testdata/sf0.001")
+    res = pagerank(spark, edges, damping=DAMPING, threshold=1e-8, max_rounds=60)
+    return (
+        res.ranks.select("id", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def q_out_degrees(spark, sf_dir):
+    from dxa_pagerank_spark.operators.pagerank import out_degrees
+
+    return out_degrees(_edges(spark, sf_dir))
+
+
+def q_degree_distribution(spark, sf_dir):
+    from dxa_pagerank_spark.operators.pagerank import out_degrees
+
+    return (
+        out_degrees(_edges(spark, sf_dir))
+        .groupBy("out_deg")
+        .agg(F.count(F.lit(1)).alias("n_vertices"))
+    )
+
+
+def q_pagerank_2rounds(spark, sf_dir):
+    from dxa_pagerank_spark.operators.pagerank import pagerank
+
+    res = pagerank(
+        spark, _edges(spark, sf_dir), damping=DAMPING, threshold=0.0, max_rounds=2
+    )
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_pagerank_converged(spark, sf_dir):
+    from dxa_pagerank_spark.operators.pagerank import pagerank
+
+    res = pagerank(
+        spark, _edges(spark, sf_dir), damping=DAMPING, threshold=1e-10, max_rounds=100
+    )
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_top20_pagerank(spark, sf_dir):
+    return (
+        q_pagerank_2rounds(spark, sf_dir)
+        .orderBy(F.desc("rank"), F.asc("id"))
+        .limit(20)
+    )
+
+
+def q_cc_one_round(spark, sf_dir):
+    from dxa_pagerank_spark.operators.components import _symmetrize
+    from dxa_pagerank_spark.operators.pagerank import vertex_universe
+
+    edges = _edges(spark, sf_dir)
+    verts = vertex_universe(spark, edges)
+    sym = _symmetrize(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    nbr_min = sym.groupBy(F.col("v").alias("id")).agg(F.min("u").alias("m"))
+    return (
+        verts.join(nbr_min, "id", "left")
+        .select(
+            "id", F.least(F.col("id"), F.coalesce("m", F.col("id"))).alias("component")
+        )
+    )
+
+
+def q_connected_components(spark, sf_dir):
+    from dxa_pagerank_spark.operators.components import connected_components
+
+    return connected_components(spark, _edges(spark, sf_dir))
+
+
+def q_lpa_one_round(spark, sf_dir):
+    from dxa_pagerank_spark.operators.components import _symmetrize
+    from dxa_pagerank_spark.operators.pagerank import vertex_universe
+
+    edges = _edges(spark, sf_dir)
+    verts = vertex_universe(spark, edges)
+    sym = _symmetrize(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    counts = sym.groupBy(
+        F.col("v").alias("id"), (F.col("u") % 10).alias("label")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    best = (
+        counts.groupBy("id")
+        .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("neg"))).alias("top"))
+        .select("id", (-F.col("top.neg")).alias("new_label"))
+    )
+    return verts.join(best, "id", "left").select(
+        "id", F.coalesce("new_label", F.col("id") % 10).alias("label")
+    )
+
+
+def q_label_propagation(spark, sf_dir):
+    from dxa_pagerank_spark.operators.labelprop import label_propagation
+
+    return label_propagation(spark, _edges(spark, sf_dir), max_rounds=10)
+
+
+def q_triangle_count(spark, sf_dir):
+    from dxa_pagerank_spark.operators.triangles import triangle_count_df
+
+    return triangle_count_df(spark, _edges(spark, sf_dir))
+
+
+def q_tpch_q1ish(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_supplier_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_events_window_agg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_user_sessions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_prev = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    is_start = F.when(
+        F.col("prev_ts").isNull()
+        | (
+            F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800
+        ),
+        1,
+    )
+    return with_prev.groupBy("user_id").agg(
+        F.count(is_start).alias("n_sessions")
+    )
+
+
+def q_doc_stats(spark, sf_dir):
+    from dxa_pagerank_spark.functions.textstats import doc_stats
+
+    return doc_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_quality(spark, sf_dir):
+    from dxa_pagerank_spark.functions.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact_stats(spark, sf_dir):
+    from dxa_pagerank_spark.functions.dedup import exact_dup_stats
+
+    return exact_dup_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_ann_topk(spark, sf_dir):
+    from dxa_pagerank_spark.functions.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=10)
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    from dxa_pagerank_spark.functions.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=10, dim=64)
+
+
+def q_minhash_dedup(spark, sf_dir):
+    from dxa_pagerank_spark.functions.dedup import minhash_dedup_pairs
+
+    return minhash_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    from dxa_pagerank_spark.functions.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_lang_id(spark, sf_dir):
+    from dxa_pagerank_spark.functions.textstats import with_lang_id
+
+    return with_lang_id(_t(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from dxa_pagerank_spark.functions.textstats import with_fingerprint
+
+    return with_fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    from dxa_pagerank_spark.functions.similarity import embedding_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    return embedding_near_dup_pairs(emb, threshold=0.9, dim=64)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "out_degrees": q_out_degrees,
+        "degree_distribution": q_degree_distribution,
+        "pagerank_2rounds": q_pagerank_2rounds,
+        "pagerank_converged": q_pagerank_converged,
+        "top20_pagerank": q_top20_pagerank,
+        "cc_one_round": q_cc_one_round,
+        "connected_components": q_connected_components,
+        "lpa_one_round": q_lpa_one_round,
+        "label_propagation": q_label_propagation,
+        "triangle_count": q_triangle_count,
+        "tpch_q1ish": q_tpch_q1ish,
+        "supplier_revenue": q_supplier_revenue,
+        "events_window_agg": q_events_window_agg,
+        "user_sessions": q_user_sessions,
+        "doc_stats": q_doc_stats,
+        "doc_quality": q_doc_quality,
+        "dedup_exact_stats": q_dedup_exact_stats,
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_near_dup": q_simhash_near_dup,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_near_dup": q_embedding_near_dup,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_PAGERANK_PRELUDE = f"""
+WITH edges AS ({_EDGES_SQL}),
+verts AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+nv AS (SELECT count(*)::DOUBLE AS n FROM verts),
+deg AS (SELECT src AS id, count(*)::DOUBLE AS out_deg FROM edges GROUP BY src),
+ew AS (SELECT e.src, e.dst, 1.0/d.out_deg AS w FROM edges e JOIN deg d ON e.src = d.id),
+r0 AS (SELECT id, 1.0/(SELECT n FROM nv) AS rank FROM deg),
+c1 AS (SELECT ew.dst AS id, sum(r.rank*ew.w) AS contrib FROM ew JOIN r0 r ON ew.src = r.id GROUP BY ew.dst),
+r1 AS (SELECT r0.id,
+         0.15/(SELECT n FROM nv) + 0.85*coalesce(c1.contrib,0)
+         + 0.85*(1.0/(SELECT n FROM nv))/(SELECT n FROM nv) AS rank
+       FROM r0 LEFT JOIN c1 ON r0.id = c1.id),
+d1 AS (SELECT 1 - sum(rank) AS mass FROM r1),
+c2 AS (SELECT ew.dst AS id, sum(r.rank*ew.w) AS contrib FROM ew JOIN r1 r ON ew.src = r.id GROUP BY ew.dst),
+r2 AS (SELECT r1.id,
+         0.15/(SELECT n FROM nv) + 0.85*coalesce(c2.contrib,0)
+         + 0.85*(SELECT mass FROM d1)/(SELECT n FROM nv) AS rank
+       FROM r1 LEFT JOIN c2 ON r1.id = c2.id),
+d2 AS (SELECT 1 - sum(rank) AS mass FROM r2),
+dang AS (SELECT id FROM verts EXCEPT SELECT id FROM deg),
+c3 AS (SELECT ew.dst AS id, sum(r.rank*ew.w) AS contrib FROM ew JOIN r2 r ON ew.src = r.id
+       WHERE ew.dst IN (SELECT id FROM dang) GROUP BY ew.dst),
+rd AS (SELECT dang.id,
+         0.15/(SELECT n FROM nv) + 0.85*coalesce(c3.contrib,0)
+         + 0.85*(SELECT mass FROM d2)/(SELECT n FROM nv) AS rank
+       FROM dang LEFT JOIN c3 ON dang.id = c3.id),
+final AS (SELECT id, rank FROM r2 UNION ALL SELECT id, rank FROM rd)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "out_degrees": f"""
+            WITH edges AS ({_EDGES_SQL})
+            SELECT src AS id, count(*) AS out_deg FROM edges GROUP BY src
+        """,
+        "degree_distribution": f"""
+            WITH edges AS ({_EDGES_SQL}),
+            deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src)
+            SELECT out_deg, count(*) AS n_vertices FROM deg GROUP BY out_deg
+        """,
+        "pagerank_2rounds": _PAGERANK_PRELUDE
+        + "SELECT id, round(rank, 6) AS rank FROM final",
+        "top20_pagerank": _PAGERANK_PRELUDE
+        + """SELECT id, round(rank, 6) AS rank FROM final
+             ORDER BY round(rank, 6) DESC, id LIMIT 20""",
+        "cc_one_round": f"""
+            WITH edges AS ({_EDGES_SQL}),
+            verts AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+            sym AS (SELECT DISTINCT u, v FROM (
+                SELECT src AS u, dst AS v FROM edges
+                UNION ALL SELECT dst AS u, src AS v FROM edges) t WHERE u <> v),
+            nbrmin AS (SELECT v AS id, min(u) AS m FROM sym GROUP BY v)
+            SELECT verts.id, least(verts.id, coalesce(nbrmin.m, verts.id)) AS component
+            FROM verts LEFT JOIN nbrmin ON verts.id = nbrmin.id
+        """,
+        "lpa_one_round": f"""
+            WITH edges AS ({_EDGES_SQL}),
+            verts AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+            sym AS (SELECT DISTINCT u, v FROM (
+                SELECT src AS u, dst AS v FROM edges
+                UNION ALL SELECT dst AS u, src AS v FROM edges) t WHERE u <> v),
+            cnt AS (SELECT v AS id, (u % 10) AS label, count(*) AS c FROM sym GROUP BY 1, 2),
+            best AS (SELECT id, label FROM (
+                SELECT id, label, row_number() OVER (
+                    PARTITION BY id ORDER BY c DESC, label ASC) AS rn FROM cnt) t
+                WHERE rn = 1)
+            SELECT verts.id, coalesce(best.label, verts.id % 10) AS label
+            FROM verts LEFT JOIN best ON verts.id = best.id
+        """,
+        "triangle_count": f"""
+            WITH edges AS ({_EDGES_SQL}),
+            und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                    FROM edges WHERE src <> dst)
+            SELECT count(*) AS n_triangles
+            FROM und e1 JOIN und e2 ON e2.a = e1.b
+                 JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "tpch_q1ish": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "supplier_revenue": """
+            SELECT s.s_nationkey::BIGINT AS nationkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY s.s_nationkey
+        """,
+        "events_window_agg": """
+            SELECT (floor(epoch(ts) / 300) * 300)::BIGINT AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "user_sessions": """
+            WITH x AS (SELECT user_id, ts,
+                          lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+                       FROM events)
+            SELECT user_id,
+                   count(*) FILTER (WHERE prev IS NULL OR epoch(ts) - epoch(prev) > 1800)
+                       AS n_sessions
+            FROM x GROUP BY user_id
+        """,
+        "doc_stats": """
+            SELECT doc_id,
+                   length(text)::BIGINT AS n_chars,
+                   len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT AS n_tokens,
+                   round(length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE
+                         / greatest(length(text), 1), 6) AS alpha_ratio,
+                   round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                         / greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1), 6)
+                       AS avg_token_len
+            FROM documents
+        """,
+        "doc_quality": """
+            WITH s AS (SELECT doc_id,
+                length(text) AS n_chars,
+                len(regexp_extract_all(text, '[A-Za-z]+')) AS n_tokens,
+                length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE
+                    / greatest(length(text), 1) AS alpha_ratio,
+                length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                    / greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1) AS atl
+              FROM documents)
+            SELECT doc_id,
+                   round(((CASE WHEN n_chars BETWEEN 200 AND 20000 THEN 1.0
+                                ELSE least(n_chars::DOUBLE / 200.0, 1.0) END)
+                          + (CASE WHEN atl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+                          + alpha_ratio) / 3.0, 6) AS quality
+            FROM s
+        """,
+        "dedup_exact_stats": """
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_unique,
+                   count(*) - count(DISTINCT md5(text)) AS n_dup
+            FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 5),
+            scored AS (SELECT q.query_id, e.vec_id,
+                              list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS cos
+                       FROM embeddings e CROSS JOIN q),
+            ranked AS (SELECT query_id, vec_id, cos,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY cos DESC, vec_id) AS rnk
+                       FROM scored)
+            SELECT query_id, vec_id, round(cos, 6) AS cos_sim, rnk::INT AS rnk
+            FROM ranked WHERE rnk <= 10
+        """,
+        # Iterative fixpoints (pagerank_converged, connected_components,
+        # label_propagation) and hash-family ops (minhash/simhash/lsh/
+        # fingerprint/lang_id/embedding_near_dup) are rows-only here;
+        # their exactness is pinned by pytest oracles (tests/).
+    }

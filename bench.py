@@ -1,0 +1,145 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "edges_per_sec_per_superstep": ..., "synth": {...}}
+
+The BASELINE.json target metric is edges/sec per superstep on the
+PageRank hot loop; measured here on a deterministic seeded synthetic
+graph (N=1e6, meanInDeg 6 => ~5.3M unique edges — the reference's law,
+CreateSyntheticGraphSeed.java:145-147) over fixed supersteps, plus the
+sf-dir relational/graph suite. Scaling evidence (local[8] vs local[32])
+is produced by scripts/scaling_bench.py -> BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SYNTH_N = int(os.environ.get("BENCH_SYNTH_N", "1000000"))
+SYNTH_ROUNDS = int(os.environ.get("BENCH_SYNTH_ROUNDS", "5"))
+SYNTH_CACHE = os.environ.get(
+    "BENCH_SYNTH_CACHE", f"/tmp/dxa_bench_edges_n{SYNTH_N}"
+)
+
+
+def _synth_edges_parquet(spark):
+    """Deterministic synthetic edge table, cached as parquet."""
+    import numpy as np
+
+    if not os.path.exists(SYNTH_CACHE):
+        from dxa_pagerank_spark.datagen import fast_synthetic_edges
+
+        src, dst = fast_synthetic_edges(SYNTH_N, 6, seed=42)
+        import pandas as pd
+
+        pdf = pd.DataFrame({"src": src, "dst": dst})
+        tmp = SYNTH_CACHE + ".tmp"
+        spark.createDataFrame(pdf).repartition(CPUS).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        os.rename(tmp, SYNTH_CACHE)
+    return spark.read.parquet(SYNTH_CACHE)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from dxa_pagerank_spark.operators.components import connected_components
+    from dxa_pagerank_spark.operators.pagerank import pagerank
+    from dxa_pagerank_spark.operators.triangles import triangle_count
+    from dxa_pagerank_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="dxa_bench", cores=CPUS, shuffle_partitions=CPUS)
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+        return out
+
+    # --- synthetic PageRank hot loop: the BASELINE.json metric ---
+    synth = _synth_edges_parquet(spark)
+    n_edges = synth.count()
+    t0 = time.monotonic()
+    res = pagerank(
+        spark, synth, damping=0.85, threshold=1e-12,  # never converges in 5
+        max_rounds=SYNTH_ROUNDS, num_partitions=CPUS,
+    )
+    synth_total = time.monotonic() - t0
+    per_round = (
+        sum(res.round_ms) / 1000.0 / max(res.rounds, 1)
+        if res.round_ms
+        else synth_total / max(res.rounds, 1)
+    )
+    edges_per_sec = n_edges / per_round
+    timings["pagerank_synth_1m"] = round(synth_total, 3)
+
+    # --- sf-dir suite ---
+    sf_edges = entrymod._edges(spark, SF_DIR)
+
+    timed(
+        "pagerank_sf",
+        lambda: pagerank(
+            spark, sf_edges, threshold=1e-8, max_rounds=40, num_partitions=CPUS
+        ).ranks.count(),
+    )
+    timed(
+        "connected_components_sf",
+        lambda: connected_components(spark, sf_edges).agg(
+            F.countDistinct("component")
+        ).collect(),
+    )
+    timed("triangle_count_sf", lambda: triangle_count(spark, sf_edges))
+    timed(
+        "minhash_dedup_sf",
+        lambda: entrymod.q_minhash_dedup(spark, SF_DIR).count(),
+    )
+    timed("ann_topk_sf", lambda: entrymod.q_ann_topk(spark, SF_DIR).count())
+    timed(
+        "doc_stats_sf",
+        lambda: entrymod.q_doc_stats(spark, SF_DIR).agg(
+            F.sum("n_tokens")
+        ).collect(),
+    )
+    timed(
+        "events_window_sf",
+        lambda: entrymod.q_events_window_agg(spark, SF_DIR).count(),
+    )
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline suite wall time (pagerank hot loop + graph + "
+                "dedup/ann/text suite); see edges_per_sec_per_superstep",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "edges_per_sec_per_superstep": round(edges_per_sec),
+                "synth": {
+                    "n_vertices": SYNTH_N,
+                    "n_edges": int(n_edges),
+                    "rounds": res.rounds,
+                    "sec_per_round": round(per_round, 3),
+                    "cores": CPUS,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,268 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, and exact n-gram Jaccard verification.
+
+Everything is JVM-side DataFrame expressions — the signature
+computations use xxhash64 (codegen'd) with per-row min/sum aggregates,
+so there is no Python in the hot path and no per-doc shingle blowup
+past the first groupBy (map-side partial aggregation).
+
+Scale shape:
+  * shingling: explode to (doc_id, shingle_hash) — the only |doc|*|len|
+    intermediate; immediately aggregated.
+  * MinHash: H=num_hashes min-aggregates in ONE groupBy pass
+    (sig_i = min over shingles of xxhash64(shingle, i)).
+  * LSH banding: b bands of r rows; band key = xxhash64(band values);
+    self-join per band key finds candidates — only colliding docs meet.
+  * verification: exact Jaccard via an inner join on shingle hashes,
+    restricted to candidate pairs (semi-join pushdown).
+  * SimHash: 64 sign-sums in one pass -> 64-bit signature; candidates
+    via 16-bit block equality (Hamming<=3 guarantees a matching block).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dup_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """1-row frame: n_docs, n_unique, n_dup (md5 content hash)."""
+    h = F.md5(F.col(text_col).cast("binary"))
+    return documents.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_dup"),
+    )
+
+
+def exact_dedup(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative per exact content hash."""
+    h = F.md5(F.col(text_col).cast("binary")).alias("_h")
+    with_h = documents.withColumn("_h", F.md5(F.col(text_col).cast("binary")))
+    keep = with_h.groupBy("_h").agg(F.min(id_col).alias(id_col))
+    return with_h.join(keep, [id_col, "_h"], "left_semi").drop("_h")
+
+
+# --------------------------------------------------------------------------
+# shingling
+# --------------------------------------------------------------------------
+
+def shingles(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Word n-gram shingles -> distinct (doc_id, sh) 64-bit hashes.
+    Tokenization: lowercase alphanumeric runs (JVM regexp)."""
+    toks = F.split(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "), " +"
+    )
+    toks = F.filter(toks, lambda x: x != "")
+    # sliding word n-grams via transform over index range
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    grams = F.when(F.size(toks) >= n, grams).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+    return (
+        documents.select(F.col(id_col).alias("doc_id"), grams.alias("grams"))
+        .select("doc_id", F.explode("grams").alias("gram"))
+        .select("doc_id", F.xxhash64("gram").alias("sh"))
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """(doc_id, sh)* -> (doc_id, sig array<long>); sig_i = min
+    xxhash64(sh, i) — one groupBy, H min-aggregates, map-side partials."""
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"s{i}")
+        for i in range(num_hashes)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    return wide.select(
+        "doc_id", F.array(*[F.col(f"s{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidates(
+    sigs: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded LSH: docs sharing any band key become candidate pairs
+    (doc_a < doc_b, distinct)."""
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[b * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    keyed = sigs.select(
+        "doc_id", F.posexplode(band_keys).alias("band", "key")
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    sh: DataFrame, pairs: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs ->
+    (doc_a, doc_b, jaccard) filtered to >= threshold."""
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.coalesce(F.col("inter"), F.lit(0)).cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.coalesce(F.col("inter"), F.lit(0)))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_dedup_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline -> verified (doc_a, doc_b,
+    jaccard) pairs at >= threshold."""
+    sh = shingles(documents, id_col, text_col, n).persist()
+    sigs = minhash_signatures(sh, num_hashes)
+    cands = lsh_candidates(sigs, bands, num_hashes // bands)
+    return jaccard_verify(sh, cands, threshold)
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash_signatures(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over unigram token hashes -> (doc_id, simhash)."""
+    toks = F.split(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "), " +"
+    )
+    toks = F.filter(toks, lambda x: x != "")
+    th = (
+        documents.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .select("doc_id", F.xxhash64("tok").alias("h"))
+    )
+    sums = th.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(64)
+        ]
+    )
+    sig = None
+    for j in range(64):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming, found via
+    16-bit block collision (pigeonhole: <=3 bit flips leave >=1 of 4
+    blocks intact) then exact popcount verification."""
+    sigs = simhash_signatures(documents, id_col, text_col)
+    blocks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * k)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    for k in range(4)
+                ]
+            )
+        ).alias("blk", "blk_val"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.blk_val") == F.col("b.blk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    return cands.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(
+            F.col("sig_a").bitwiseXOR(F.col("sig_b"))
+        ).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

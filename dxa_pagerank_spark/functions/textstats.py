@@ -1,0 +1,140 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, document fingerprinting.
+
+All hot-path expressions are JVM-side built-ins (regexp_count, length,
+split) — whole-stage-codegen friendly at 100 TB. Only language ID needs
+Python, and it is a vectorized pandas UDF over Arrow batches.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+WORD_RE = r"[A-Za-z]+"
+
+
+def token_count(col) -> Column:
+    """Whitespace-ish token count: number of alphabetic word runs."""
+    return F.regexp_count(col, F.lit(WORD_RE)).cast("long")
+
+
+def alpha_ratio(col) -> Column:
+    """Share of characters that are [A-Za-z ] — a cheap quality signal."""
+    cleaned = F.length(F.regexp_replace(col, "[^A-Za-z ]", ""))
+    return cleaned.cast("double") / F.greatest(F.length(col), F.lit(1)).cast(
+        "double"
+    )
+
+
+def avg_token_len(col) -> Column:
+    alpha_chars = F.length(F.regexp_replace(col, "[^A-Za-z]", ""))
+    return alpha_chars.cast("double") / F.greatest(
+        token_count(col), F.lit(1)
+    ).cast("double")
+
+
+def doc_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document stats frame (SQL-oracle-friendly: deterministic,
+    built-ins only, rounded)."""
+    c = F.col(text_col)
+    return documents.select(
+        "doc_id",
+        F.length(c).cast("long").alias("n_chars"),
+        token_count(c).alias("n_tokens"),
+        F.round(alpha_ratio(c), 6).alias("alpha_ratio"),
+        F.round(avg_token_len(c), 6).alias("avg_token_len"),
+    )
+
+
+def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite [0,1] quality score: length band + alpha ratio +
+    mean-token-length band. Deterministic, built-ins only."""
+    c = F.col(text_col)
+    len_band = F.when(F.length(c).between(200, 20000), 1.0).otherwise(
+        F.least(F.length(c).cast("double") / 200.0, F.lit(1.0))
+    )
+    tok_band = F.when(avg_token_len(c).between(3.0, 10.0), 1.0).otherwise(0.5)
+    score = (len_band + tok_band + alpha_ratio(c)) / 3.0
+    return documents.select(
+        "doc_id", F.round(score, 6).alias("quality")
+    )
+
+
+# --- language ID (n-gram heuristic; pandas UDF — no SQL oracle) -----------
+
+# Tiny per-language marker sets: function words + characteristic n-grams.
+# Deterministic heuristic, not a trained model; accuracy is asserted on
+# synthetic fixtures in tests (the sf documents' text is synthetic word
+# salad, so its lang column is a label, not evidence).
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "that", "with", "for"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "des"),
+    "es": ("el", "la", "los", "que", "es", "una", "por", "con"),
+}
+
+
+def _lang_id_one(text: str | None) -> str:
+    if not text:
+        return "und"
+    # CJK codepoint share wins outright
+    cjk = sum(1 for ch in text[:2000] if "一" <= ch <= "鿿")
+    if cjk > 0 and cjk / max(len(text[:2000]), 1) > 0.05:
+        return "zh"
+    words = re.findall(r"[a-zA-Zäöüéèêàçñ]+", text.lower()[:2000])
+    if not words:
+        return "und"
+    counts = {
+        lang: sum(1 for w in words if w in markers)
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = max(sorted(counts), key=lambda k: counts[k])
+    return best if counts[best] > 0 else "und"
+
+
+def lang_id_udf():
+    @F.pandas_udf(T.StringType())
+    def _lang(text: pd.Series) -> pd.Series:
+        return text.map(_lang_id_one)
+
+    return _lang
+
+
+def with_lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    return documents.withColumn("lang_pred", lang_id_udf()(F.col(text_col)))
+
+
+# --- document fingerprint (polynomial rolling hash) ------------------------
+
+_FP_BASE = 1000003
+_FP_MOD = (1 << 61) - 1
+
+
+def _fingerprint_one(text: str | None) -> int:
+    """Deterministic 61-bit polynomial hash of the token stream (a
+    content fingerprint robust to whitespace layout)."""
+    if not text:
+        return 0
+    h = 0
+    for tok in re.findall(r"\S+", text):
+        for b in tok.encode("utf-8"):
+            h = (h * _FP_BASE + b) % _FP_MOD
+        h = (h * _FP_BASE + 0x20) % _FP_MOD
+    return h
+
+
+def fingerprint_udf():
+    @F.pandas_udf(T.LongType())
+    def _fp(text: pd.Series) -> pd.Series:
+        return text.map(_fingerprint_one)
+
+    return _fp
+
+
+def with_fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    return documents.withColumn("fingerprint", fingerprint_udf()(F.col(text_col)))

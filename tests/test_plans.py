@@ -1,0 +1,97 @@
+"""Physical-plan assertions (SURVEY.md §5.2.8): the hot paths must stay
+JVM-side (no row-at-a-time Python), keep Arrow only where intended,
+prune columns at the scan, and broadcast small dimensions."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from dxa_pagerank_spark.datagen import edges_to_spark, fast_synthetic_edges
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_pagerank_round_has_no_python(spark):
+    """One gather+apply superstep: pure JVM (joins + hash aggregate)."""
+    src, dst = fast_synthetic_edges(2000, 4, seed=2)
+    edges = edges_to_spark(spark, src, dst)
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("out_deg"))
+    adj = edges.join(deg, edges.src == deg.id).select(
+        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
+    )
+    ranks = deg.select("id", F.lit(1e-3).alias("rank"))
+    contribs = (
+        adj.join(ranks, adj.src == ranks.id)
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+    )
+    plan = _plan(contribs)
+    assert "BatchEvalPython" not in plan  # no per-row Python, ever
+    assert "ArrowEvalPython" not in plan  # hot loop is fully JVM
+    # partial+final agg: two HashAggregate nodes around the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_text_extraction_is_arrow_not_row_python(spark):
+    from dxa_pagerank_spark.datagen import make_pages, pages_to_spark
+    from dxa_pagerank_spark.sources.pages import enrich_pages
+
+    rows, _, _ = make_pages(5)
+    out = enrich_pages(pages_to_spark(spark, rows))
+    plan = _plan(out)
+    assert "ArrowEvalPython" in plan  # vectorized pandas UDF
+    assert "BatchEvalPython" not in plan  # not row-at-a-time
+
+
+def test_parquet_scan_prunes_columns(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.select("l_orderkey", "l_suppkey").filter(F.col("l_orderkey") > 100)
+    plan = _plan(q)
+    # ReadSchema must contain only the two projected columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_suppkey" in read_schema
+    assert "l_extendedprice" not in read_schema
+    assert "PushedFilters: [IsNotNull(l_orderkey), GreaterThan(l_orderkey,100)]" in plan
+
+
+def test_supplier_join_is_broadcast(spark):
+    import __spark_entry__ as entrymod
+
+    q = entrymod.q_supplier_revenue(spark, "/root/testdata/sf0.001")
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_signatures_jvm_side(spark):
+    import pandas as pd
+
+    from dxa_pagerank_spark.functions.dedup import minhash_signatures, shingles
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["a b c d e", "b c d e f"]})
+    )
+    sigs = minhash_signatures(shingles(docs), num_hashes=8)
+    plan = _plan(sigs)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan  # xxhash64 min-aggs are JVM-side
+
+
+def test_results_invariant_across_partitioning(spark):
+    """SURVEY §5.2.4: same scores within 1e-9 across partition counts."""
+    from dxa_pagerank_spark.operators.pagerank import pagerank
+
+    src, dst = fast_synthetic_edges(1000, 5, seed=4)
+    edges = edges_to_spark(spark, src, dst)
+    r1 = pagerank(spark, edges, num_vertices=1000, threshold=1e-9,
+                  max_rounds=60, num_partitions=2)
+    r2 = pagerank(spark, edges, num_vertices=1000, threshold=1e-9,
+                  max_rounds=60, num_partitions=16)
+    a = {r["id"]: r["rank"] for r in r1.ranks.collect()}
+    b = {r["id"]: r["rank"] for r in r2.ranks.collect()}
+    assert r1.rounds == r2.rounds
+    diffs = np.array([abs(a[i] - b[i]) for i in a])
+    assert diffs.max() < 1e-9

@@ -1,0 +1,139 @@
+"""CSR-in-Arrow PageRank hot loop (north_star vectorized variant).
+
+Same reference-exact semantics as operators.pagerank (round-1 quirk,
+frozen dangling, non-dangling L1, restore pass — SURVEY.md §2.3), but
+the gather is a NumPy segment-sum inside a ``mapInPandas`` kernel over
+Arrow batches instead of a join+hash-agg:
+
+  * the edge table is hash-partitioned by ``dst`` once and cached —
+    Arrow batches of (src, dst) ARE the per-partition CSR blocks;
+  * each superstep broadcasts the dense rank vector (8 bytes/vertex) to
+    executors; the kernel computes
+    ``contrib = bincount(dst_batch, ranks[src_batch] / out_deg[src_batch])``
+    — no per-row Python, no |E|-row shuffle, ever;
+  * partial contribs (<= |V| rows per partition) return to the driver,
+    which applies the rank update / error / dangling-mass bookkeeping in
+    NumPy, exactly like the reference master's MetaChunk reduction
+    (MainPR.java:156-167) but with the full vector.
+
+Scale envelope — be honest about it: this variant replicates the rank
+vector (numpy broadcast), so it applies while 8B x |V| fits in executor
+memory (~10^9 vertices at 8 GB). Past that, operators.pagerank's
+shuffle loop is the right plan; `pagerank()` stays the default API and
+this is the opt-in accelerator for the common web-graph regime.
+Requires contiguous vertex ids [0, N).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from .pagerank import PageRankResult
+
+
+def pagerank_csr(
+    spark: SparkSession,
+    edges: DataFrame,
+    num_vertices: int,
+    damping: float = 0.85,
+    threshold: float = 1e-3,
+    max_rounds: int = 50,
+    num_partitions: int | None = None,
+) -> PageRankResult:
+    """Reference-semantics PageRank with the Arrow/NumPy gather kernel.
+    Returns ranks as a DataFrame like pagerank()."""
+    sc = spark.sparkContext
+    num_partitions = num_partitions or sc.defaultParallelism
+    n = num_vertices
+    inv_n = 1.0 / n
+
+    adj = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .repartition(num_partitions, "dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    num_edges = adj.count()
+
+    deg_pdf = adj.groupBy("src").agg(F.count(F.lit(1)).alias("c")).toPandas()
+    out_deg = np.zeros(n, dtype=np.float64)
+    out_deg[deg_pdf["src"].to_numpy()] = deg_pdf["c"].to_numpy()
+    nd = out_deg > 0
+    inv_deg = np.zeros(n)
+    inv_deg[nd] = 1.0 / out_deg[nd]
+    bc_inv_deg = sc.broadcast(inv_deg)
+
+    def make_gather(bc_ranks):
+        def gather(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ranks_v = bc_ranks.value
+            invd = bc_inv_deg.value
+            for pdf in it:
+                srcs = pdf["src"].to_numpy()
+                dsts = pdf["dst"].to_numpy()
+                vals = ranks_v[srcs] * invd[srcs]
+                uq, inv = np.unique(dsts, return_inverse=True)
+                contrib = np.bincount(inv, weights=vals)
+                yield pd.DataFrame({"dst": uq, "contrib": contrib})
+
+        return gather
+
+    def full_contrib(ranks_np: np.ndarray) -> np.ndarray:
+        bc = sc.broadcast(ranks_np)
+        try:
+            partials = adj.mapInPandas(
+                make_gather(bc), schema="dst long, contrib double"
+            ).toPandas()
+            contrib = np.zeros(n)
+            np.add.at(
+                contrib,
+                partials["dst"].to_numpy(),
+                partials["contrib"].to_numpy(),
+            )
+            return contrib
+        finally:
+            bc.destroy()
+
+    ranks = np.full(n, inv_n)
+    dangling = inv_n  # round-1 quirk (MetaChunk.java:20)
+    result = PageRankResult(
+        ranks=None, rounds=0, converged=False,
+        num_vertices=n, num_edges=num_edges,
+    )
+
+    for _ in range(max_rounds):
+        t0 = time.monotonic()
+        contrib = full_contrib(ranks)
+        new = ranks.copy()
+        new[nd] = (1 - damping) * inv_n + damping * contrib[nd] + damping * dangling * inv_n
+        err = float(np.abs(new[nd] - ranks[nd]).sum())
+        dangling = 1.0 - float(new[nd].sum())
+        ranks = new
+        result.rounds += 1
+        result.errors.append(err)
+        result.dangling_mass.append(dangling)
+        result.round_ms.append(int((time.monotonic() - t0) * 1000))
+        if err <= threshold:
+            result.converged = True
+            break
+
+    # restore pass: dangling vertices from converged neighbor ranks
+    contrib = full_contrib(ranks)
+    ranks = ranks.copy()
+    ranks[~nd] = (
+        (1 - damping) * inv_n + damping * contrib[~nd] + damping * dangling * inv_n
+    )
+
+    out = pd.DataFrame({"id": np.arange(n, dtype=np.int64), "rank": ranks})
+    result.ranks = spark.createDataFrame(out)
+    adj.unpersist()
+    bc_inv_deg.destroy()
+    return result

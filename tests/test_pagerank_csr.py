@@ -1,0 +1,47 @@
+"""CSR/Arrow PageRank variant: must match the oracle AND the DataFrame
+implementation trajectory-exactly."""
+
+import numpy as np
+
+from dxa_pagerank_spark.datagen import (
+    FIXTURE_GRAPHS,
+    edges_to_spark,
+    parse_in_edge_list,
+    synthetic_edges,
+)
+from dxa_pagerank_spark.operators.pagerank import pagerank
+from dxa_pagerank_spark.operators.pagerank_csr import pagerank_csr
+from dxa_pagerank_spark.oracle import pagerank_oracle
+
+
+def _vec(res, n):
+    got = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    return np.array([got[i] for i in range(n)])
+
+
+def test_csr_matches_oracle_fixtures(spark):
+    for name in ("g7_readme", "g_dangling", "g_dup"):
+        n, src, dst = parse_in_edge_list(FIXTURE_GRAPHS[name])
+        oracle = pagerank_oracle(n, src, dst, 0.85, 1e-10, 100)
+        res = pagerank_csr(
+            spark, edges_to_spark(spark, src, dst), num_vertices=n,
+            threshold=1e-10, max_rounds=100, num_partitions=4,
+        )
+        assert res.rounds == oracle.rounds, name
+        np.testing.assert_allclose(
+            np.array(res.errors), np.array(oracle.errors), rtol=1e-9, atol=1e-12
+        )
+        np.testing.assert_allclose(_vec(res, n), oracle.ranks, atol=1e-9)
+
+
+def test_csr_matches_dataframe_impl(spark):
+    n = 1000
+    src, dst = synthetic_edges(n, 0.6, 6, 21, n_slaves=1)
+    edges = edges_to_spark(spark, src, dst)
+    a = pagerank(spark, edges, num_vertices=n, threshold=1e-8,
+                 max_rounds=60, num_partitions=4)
+    b = pagerank_csr(spark, edges, num_vertices=n, threshold=1e-8,
+                     max_rounds=60, num_partitions=4)
+    assert a.rounds == b.rounds
+    np.testing.assert_allclose(_vec(a, n), _vec(b, n), atol=1e-10)
+    np.testing.assert_allclose(np.array(a.errors), np.array(b.errors), atol=1e-12)

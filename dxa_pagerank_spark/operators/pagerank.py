@@ -99,6 +99,8 @@ def pagerank(
     checkpoint_manager=None,
     checkpoint_interval: int = 5,
     resume: bool = False,
+    hub_salt: int = 0,
+    hub_threshold: int = 100_000,
 ) -> PageRankResult:
     """Run reference-semantics PageRank over an edge DataFrame.
 
@@ -106,6 +108,15 @@ def pagerank(
     given, every ``checkpoint_interval`` rounds the rank table + a metrics
     row are written durably; with resume=True the loop continues from the
     latest persisted iteration (FIXTURES.md F6 contract).
+
+    hub_salt: when > 1, explicit skew handling for super-node sources
+    (out_deg >= hub_threshold): their adjacency rows get a salt column
+    (pmod(xxhash64(dst), hub_salt)) so the gather join spreads a hub's
+    edges over hub_salt reducers; the (tiny) rank rows of hubs are
+    replicated per salt. AQE skew-join remains on as the backstop —
+    salting is for clusters/configs where AQE is unavailable or the
+    skew exceeds what post-hoc splitting handles. Results are identical
+    with or without (tested).
     """
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
 
@@ -113,13 +124,63 @@ def pagerank(
     deg = out_degrees(edges)
 
     # adj: the big, immutable side — partitioned once by the join key.
-    adj = (
-        edges.join(deg, edges.src == deg.id)
-        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
-        .repartition(num_partitions, "src")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    adj = edges.join(deg, edges.src == deg.id).select(
+        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
+    )
+    hubs = None
+    if hub_salt > 1:
+        hubs = (
+            deg.filter(F.col("out_deg") >= hub_threshold)
+            .select("id")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        adj = adj.join(
+            hubs.select(F.col("id").alias("_hub")), adj.src == F.col("_hub"), "left"
+        ).select(
+            "src",
+            "dst",
+            "w",
+            F.when(
+                F.col("_hub").isNotNull(), F.pmod(F.xxhash64("dst"), F.lit(hub_salt))
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("salt"),
+        )
+    adj = adj.repartition(num_partitions, "src").persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     num_edges = adj.count()  # materialize the partitioned adjacency
+
+    def gather(adj_df, ranks_df):
+        """contribs(dst, contrib) = Σ rank(src)/out_deg(src), optionally
+        salt-spread for hub sources."""
+        if hub_salt > 1 and "salt" in adj_df.columns:
+            hub_ranks = (
+                ranks_df.join(hubs, "id", "left_semi")
+                .select(
+                    "id",
+                    "rank",
+                    F.explode(
+                        F.sequence(
+                            F.lit(0).cast("int"), F.lit(hub_salt - 1).cast("int")
+                        )
+                    ).alias("salt"),
+                )
+            )
+            nonhub_ranks = ranks_df.join(hubs, "id", "left_anti").select(
+                "id", "rank", F.lit(0).cast("int").alias("salt")
+            )
+            ranks_s = hub_ranks.unionByName(nonhub_ranks)
+            joined = adj_df.join(
+                ranks_s,
+                (adj_df.src == ranks_s.id) & (adj_df.salt == ranks_s.salt),
+            )
+        else:
+            joined = adj_df.join(ranks_df, adj_df.src == ranks_df.id)
+        return joined.groupBy("dst").agg(
+            F.sum(F.col("rank") * F.col("w")).alias("contrib")
+        )
 
     nd_ids = deg.select("id")  # non-dangling vertex ids (out_deg >= 1)
     n = verts.count() if num_vertices is None else num_vertices
@@ -162,11 +223,7 @@ def pagerank(
     if not result.converged:
         for i in range(start_round, max_rounds):
             t0 = time.monotonic()
-            contribs = (
-                adj.join(ranks, adj.src == ranks.id)
-                .groupBy("dst")
-                .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
-            )
+            contribs = gather(adj, ranks)
             updated = (
                 ranks.alias("r")
                 .join(contribs.alias("c"), F.col("r.id") == F.col("c.dst"), "left")
@@ -226,11 +283,7 @@ def pagerank(
 
     # Final restore pass (MainPR.java:185-197): dangling vertices computed
     # once from converged neighbor ranks + the last dangling mass.
-    d_contribs = (
-        adj_to_dang.join(ranks, adj_to_dang.src == ranks.id)
-        .groupBy("dst")
-        .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
-    )
+    d_contribs = gather(adj_to_dang, ranks)
     dang_ranks = (
         dang.alias("v")
         .join(d_contribs.alias("c"), F.col("v.id") == F.col("c.dst"), "left")

@@ -290,6 +290,101 @@ def q_doc_fingerprint(spark, sf_dir):
     )
 
 
+def q_token_counts(spark, sf_dir):
+    """Token counting: whitespace runs + a BPE-ish piece regex
+    (letter runs | digit runs | single punctuation)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(r"\S+")).cast("long").alias("n_ws_tokens"),
+        F.regexp_count(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+        ).cast("long").alias("n_bpe_pieces"),
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact word-3-gram Jaccard for consecutive doc_id pairs (the
+    exact-verification kernel of the near-dup stack, oracle-checkable)."""
+    from dxa_pagerank_spark.functions.dedup import shingles
+
+    s = shingles(_t(spark, sf_dir, "documents"), n=3)
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = (
+        sizes.alias("x")
+        .join(sizes.alias("y"), F.col("y.doc_id") == F.col("x.doc_id") + 1)
+        .select(
+            F.col("x.doc_id").alias("id1"),
+            F.col("y.doc_id").alias("id2"),
+            F.col("x.sz").alias("sz1"),
+            F.col("y.sz").alias("sz2"),
+        )
+    )
+    inter = (
+        s.alias("a")
+        .join(
+            s.alias("b"),
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            & (F.col("a.sh") == F.col("b.sh")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id1"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return pairs.join(inter, "id1", "left").select(
+        "id1",
+        "id2",
+        F.round(
+            F.coalesce(F.col("i"), F.lit(0)).cast("double")
+            / (F.col("sz1") + F.col("sz2") - F.coalesce(F.col("i"), F.lit(0))),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+def _media_from_docs(spark, sf_dir):
+    """Deterministic media table derived from documents: payload =
+    utf-8 text bytes, kind by doc_id % 3, synthetic duration."""
+    d = _t(spark, sf_dir, "documents")
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("media_id"),
+        kind.alias("kind"),
+        F.lit(None).cast("string").alias("mime"),
+        F.col("text").cast("binary").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            (F.lit(2500) + F.lit(997) * F.col("doc_id")).cast("long"),
+        ).alias("duration_ms"),
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: image payloads -> (n_bytes, feature dim)
+    through the Arrow-batched (stub-decoder) kernel."""
+    from dxa_pagerank_spark.functions.multimodal import image_features
+
+    feats = image_features(_media_from_docs(spark, sf_dir), fake=True)
+    return feats.select(
+        "media_id", "n_bytes", F.size("feature").cast("int").alias("feature_dim")
+    )
+
+
+def q_frame_samples(spark, sf_dir):
+    """Multimodal plumbing: video frame sampling via mapInPandas —
+    one row per sampled frame at 1 fps."""
+    from dxa_pagerank_spark.functions.multimodal import sample_video_frames
+
+    frames = sample_video_frames(
+        _media_from_docs(spark, sf_dir), every_ms=1000, fake=True
+    )
+    return frames.select("media_id", "frame_idx")
+
+
 def q_embedding_near_dup(spark, sf_dir):
     from dxa_pagerank_spark.functions.similarity import embedding_near_dup_pairs
 
@@ -325,6 +420,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_near_dup": q_embedding_near_dup,
+        "token_counts": q_token_counts,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "media_features": q_media_features,
+        "frame_samples": q_frame_samples,
     }
 
 
@@ -489,6 +588,49 @@ def oracle_sql() -> dict[str, str]:
                        FROM scored)
             SELECT query_id, vec_id, round(cos, 6) AS cos_sim, rnk::INT AS rnk
             FROM ranked WHERE rnk <= 10
+        """,
+        "token_counts": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\S+'))::BIGINT AS n_ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT
+                       AS n_bpe_pieces
+            FROM documents
+        """,
+        "ngram_jaccard_pairs": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           string_split_regex(
+                               regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                               ' +'),
+                           x -> x <> '') AS t
+                FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 3 THEN
+                           list_distinct(list_transform(range(1, len(t) - 1),
+                               i -> array_to_string(t[i:i+2], ' ')))
+                       ELSE [array_to_string(t, ' ')] END AS g
+                FROM toks)
+            SELECT a.doc_id AS id1, b.doc_id AS id2,
+                   round(len(list_intersect(a.g, b.g))::DOUBLE
+                         / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
+                       AS jaccard
+            FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text))::BIGINT AS n_bytes,
+                   8::INT AS feature_dim
+            FROM documents WHERE doc_id % 3 = 0
+        """,
+        "frame_samples": """
+            WITH v AS (SELECT doc_id AS media_id, 2500 + 997 * doc_id AS dur
+                       FROM documents WHERE doc_id % 3 = 2)
+            SELECT media_id, (i - 1)::INT AS frame_idx FROM (
+                SELECT media_id,
+                       unnest(generate_series(1, greatest(dur // 1000, 1))) AS i
+                FROM v) t
         """,
         # Iterative fixpoints (pagerank_converged, connected_components,
         # label_propagation) and hash-family ops (minhash/simhash/lsh/

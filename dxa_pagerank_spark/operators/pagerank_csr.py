@@ -5,16 +5,23 @@ frozen dangling, non-dangling L1, restore pass — SURVEY.md §2.3), but
 the gather is a NumPy segment-sum inside a ``mapInPandas`` kernel over
 Arrow batches instead of a join+hash-agg:
 
-  * the edge table is hash-partitioned by ``dst`` once and cached —
-    Arrow batches of (src, dst) ARE the per-partition CSR blocks;
+  * the edge table is hash-partitioned by ``dst`` and **sorted within
+    partitions by dst** once, then cached — the sorted Arrow batches of
+    (src, dst) ARE per-partition CSR blocks: segment boundaries are a
+    linear ``diff`` scan, so no per-round sort anywhere;
+  * vertex ids travel as int32 when N < 2^31 (halves the JVM→Python
+    Arrow transfer for web-scale graphs up to 2B vertices);
   * each superstep broadcasts the dense rank vector (8 bytes/vertex) to
     executors; the kernel computes
-    ``contrib = bincount(dst_batch, ranks[src_batch] / out_deg[src_batch])``
+    ``contrib = reduceat(ranks[src] / out_deg[src], segment_starts)``
     — no per-row Python, no |E|-row shuffle, ever;
-  * partial contribs (<= |V| rows per partition) return to the driver,
-    which applies the rank update / error / dangling-mass bookkeeping in
-    NumPy, exactly like the reference master's MetaChunk reduction
-    (MainPR.java:156-167) but with the full vector.
+  * each partition returns ONE row of binary-packed (dst_ids, contribs)
+    arrays (~|V_p| entries), so the per-round driver collect is a few
+    dozen Arrow cells, not millions of rows; the driver assembles with
+    a single buffered ``np.bincount`` and applies the rank update /
+    error / dangling-mass bookkeeping in NumPy, exactly like the
+    reference master's MetaChunk reduction (MainPR.java:156-167) but
+    with the full vector.
 
 Scale envelope — be honest about it: this variant replicates the rank
 vector (numpy broadcast), so it applies while 8B x |V| fits in executor
@@ -53,13 +60,15 @@ def pagerank_csr(
     num_partitions = num_partitions or sc.defaultParallelism
     n = num_vertices
     inv_n = 1.0 / n
+    idx_t = "int" if n < 2**31 else "long"
 
     adj = (
         edges.select(
-            F.col("src").cast("long").alias("src"),
-            F.col("dst").cast("long").alias("dst"),
+            F.col("src").cast(idx_t).alias("src"),
+            F.col("dst").cast(idx_t).alias("dst"),
         )
         .repartition(num_partitions, "dst")
+        .sortWithinPartitions("dst")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     num_edges = adj.count()
@@ -76,13 +85,28 @@ def pagerank_csr(
         def gather(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ranks_v = bc_ranks.value
             invd = bc_inv_deg.value
+            ids: list[np.ndarray] = []
+            sums: list[np.ndarray] = []
             for pdf in it:
                 srcs = pdf["src"].to_numpy()
                 dsts = pdf["dst"].to_numpy()
                 vals = ranks_v[srcs] * invd[srcs]
-                uq, inv = np.unique(dsts, return_inverse=True)
-                contrib = np.bincount(inv, weights=vals)
-                yield pd.DataFrame({"dst": uq, "contrib": contrib})
+                # dsts are pre-sorted within the partition, so segment
+                # starts are a linear scan (a dst straddling two Arrow
+                # batches yields two entries; the driver bincount adds
+                # them — addition is the combine).
+                starts = np.flatnonzero(np.r_[True, dsts[1:] != dsts[:-1]])
+                ids.append(dsts[starts].astype(np.int64, copy=False))
+                sums.append(np.add.reduceat(vals, starts))
+            uq = (
+                np.concatenate(ids) if ids else np.empty(0, dtype=np.int64)
+            )
+            sm = (
+                np.concatenate(sums) if sums else np.empty(0, dtype=np.float64)
+            )
+            yield pd.DataFrame(
+                {"ids": [uq.tobytes()], "contribs": [sm.tobytes()]}
+            )
 
         return gather
 
@@ -90,15 +114,15 @@ def pagerank_csr(
         bc = sc.broadcast(ranks_np)
         try:
             partials = adj.mapInPandas(
-                make_gather(bc), schema="dst long, contrib double"
+                make_gather(bc), schema="ids binary, contribs binary"
             ).toPandas()
-            contrib = np.zeros(n)
-            np.add.at(
-                contrib,
-                partials["dst"].to_numpy(),
-                partials["contrib"].to_numpy(),
+            idx = np.concatenate(
+                [np.frombuffer(b, dtype=np.int64) for b in partials["ids"]]
             )
-            return contrib
+            w = np.concatenate(
+                [np.frombuffer(b, dtype=np.float64) for b in partials["contribs"]]
+            )
+            return np.bincount(idx, weights=w, minlength=n)
         finally:
             bc.destroy()
 

@@ -42,6 +42,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Big Arrow batches: the CSR gather kernel is a vectorized NumPy
+        # segment-sum — per-batch fixed overhead dominates at the default
+        # 10k rows, and 1M-row batches are still only ~8-16 MB.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", driver_memory or "48g")
         .config("spark.ui.enabled", "false")

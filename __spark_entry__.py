@@ -99,6 +99,17 @@ def q_top20_pagerank(spark, sf_dir):
     )
 
 
+def q_pagerank_10rounds(spark, sf_dir):
+    """Fixed 10-round trajectory (threshold=0) incl. restore pass —
+    checked against a generated 10-round unrolled DuckDB oracle."""
+    from dxa_pagerank_spark.operators.pagerank import pagerank
+
+    res = pagerank(
+        spark, _edges(spark, sf_dir), damping=DAMPING, threshold=0.0, max_rounds=10
+    )
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_cc_one_round(spark, sf_dir):
     from dxa_pagerank_spark.operators.components import _symmetrize
     from dxa_pagerank_spark.operators.pagerank import vertex_universe
@@ -267,7 +278,9 @@ def q_ann_topk_lsh(spark, sf_dir):
 def q_minhash_dedup(spark, sf_dir):
     from dxa_pagerank_spark.functions.dedup import minhash_dedup_pairs
 
-    return minhash_dedup_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+    return minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 def q_simhash_near_dup(spark, sf_dir):
@@ -399,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "out_degrees": q_out_degrees,
         "degree_distribution": q_degree_distribution,
         "pagerank_2rounds": q_pagerank_2rounds,
+        "pagerank_10rounds": q_pagerank_10rounds,
         "pagerank_converged": q_pagerank_converged,
         "top20_pagerank": q_top20_pagerank,
         "cc_one_round": q_cc_one_round,
@@ -431,34 +445,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
-_PAGERANK_PRELUDE = f"""
-WITH edges AS ({_EDGES_SQL}),
-verts AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
-nv AS (SELECT count(*)::DOUBLE AS n FROM verts),
-deg AS (SELECT src AS id, count(*)::DOUBLE AS out_deg FROM edges GROUP BY src),
-ew AS (SELECT e.src, e.dst, 1.0/d.out_deg AS w FROM edges e JOIN deg d ON e.src = d.id),
-r0 AS (SELECT id, 1.0/(SELECT n FROM nv) AS rank FROM deg),
-c1 AS (SELECT ew.dst AS id, sum(r.rank*ew.w) AS contrib FROM ew JOIN r0 r ON ew.src = r.id GROUP BY ew.dst),
-r1 AS (SELECT r0.id,
-         0.15/(SELECT n FROM nv) + 0.85*coalesce(c1.contrib,0)
-         + 0.85*(1.0/(SELECT n FROM nv))/(SELECT n FROM nv) AS rank
-       FROM r0 LEFT JOIN c1 ON r0.id = c1.id),
-d1 AS (SELECT 1 - sum(rank) AS mass FROM r1),
-c2 AS (SELECT ew.dst AS id, sum(r.rank*ew.w) AS contrib FROM ew JOIN r1 r ON ew.src = r.id GROUP BY ew.dst),
-r2 AS (SELECT r1.id,
-         0.15/(SELECT n FROM nv) + 0.85*coalesce(c2.contrib,0)
-         + 0.85*(SELECT mass FROM d1)/(SELECT n FROM nv) AS rank
-       FROM r1 LEFT JOIN c2 ON r1.id = c2.id),
-d2 AS (SELECT 1 - sum(rank) AS mass FROM r2),
-dang AS (SELECT id FROM verts EXCEPT SELECT id FROM deg),
-c3 AS (SELECT ew.dst AS id, sum(r.rank*ew.w) AS contrib FROM ew JOIN r2 r ON ew.src = r.id
-       WHERE ew.dst IN (SELECT id FROM dang) GROUP BY ew.dst),
-rd AS (SELECT dang.id,
-         0.15/(SELECT n FROM nv) + 0.85*coalesce(c3.contrib,0)
-         + 0.85*(SELECT mass FROM d2)/(SELECT n FROM nv) AS rank
-       FROM dang LEFT JOIN c3 ON dang.id = c3.id),
-final AS (SELECT id, rank FROM r2 UNION ALL SELECT id, rank FROM rd)
-"""
+def _pagerank_rounds_sql(k: int) -> str:
+    """Unrolled k-round reference-exact PageRank as DuckDB CTEs:
+    round-1 danglingPR = 1/N quirk, frozen dangling during iteration,
+    conservation-inferred dangling mass, final restore pass
+    (SURVEY.md §2.3). Defines CTE `final(id, rank)`."""
+    # AS MATERIALIZED everywhere: DuckDB inlines CTEs by default, and an
+    # unrolled iteration would re-expand each round's plan exponentially.
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGES_SQL})",
+        "verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges)",
+        "nv AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM verts)",
+        "deg AS MATERIALIZED (SELECT src AS id, count(*)::DOUBLE AS out_deg FROM edges GROUP BY src)",
+        "ew AS MATERIALIZED (SELECT e.src, e.dst, 1.0/d.out_deg AS w FROM edges e JOIN deg d ON e.src = d.id)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nv) AS rank FROM deg)",
+    ]
+    for i in range(1, k + 1):
+        mass = (
+            "(1.0/(SELECT n FROM nv))"  # round-1 quirk: MetaChunk.java:20
+            if i == 1
+            else f"(SELECT mass FROM d{i - 1})"
+        )
+        parts += [
+            f"c{i} AS MATERIALIZED (SELECT ew.dst AS id, sum(r.rank*ew.w) AS contrib"
+            f" FROM ew JOIN r{i - 1} r ON ew.src = r.id GROUP BY ew.dst)",
+            f"r{i} AS MATERIALIZED (SELECT r{i - 1}.id,"
+            f" 0.15/(SELECT n FROM nv) + 0.85*coalesce(c{i}.contrib,0)"
+            f" + 0.85*{mass}/(SELECT n FROM nv) AS rank"
+            f" FROM r{i - 1} LEFT JOIN c{i} ON r{i - 1}.id = c{i}.id)",
+            f"d{i} AS MATERIALIZED (SELECT 1 - sum(rank) AS mass FROM r{i})",
+        ]
+    parts += [
+        "dang AS MATERIALIZED (SELECT id FROM verts EXCEPT SELECT id FROM deg)",
+        f"cr AS MATERIALIZED (SELECT ew.dst AS id, sum(r.rank*ew.w) AS contrib"
+        f" FROM ew JOIN r{k} r ON ew.src = r.id"
+        " WHERE ew.dst IN (SELECT id FROM dang) GROUP BY ew.dst)",
+        "rd AS MATERIALIZED (SELECT dang.id,"
+        " 0.15/(SELECT n FROM nv) + 0.85*coalesce(cr.contrib,0)"
+        f" + 0.85*(SELECT mass FROM d{k})/(SELECT n FROM nv) AS rank"
+        " FROM dang LEFT JOIN cr ON dang.id = cr.id)",
+        f"final AS (SELECT id, rank FROM r{k} UNION ALL SELECT id, rank FROM rd)",
+    ]
+    return ",\n".join(parts) + "\n"
+
+
+_PAGERANK_PRELUDE = _pagerank_rounds_sql(2)
+
+
+def _lpa_rounds_sql(k: int) -> str:
+    """Unrolled k-round deterministic synchronous LPA (same semantics as
+    operators.labelprop: adopt most frequent neighbor label, tie-break
+    min label, isolated vertices keep their own). Running the full k
+    rounds equals early-stop-at-fixpoint because the round map is
+    identity at a fixpoint."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGES_SQL})",
+        "verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges)",
+        "sym AS MATERIALIZED (SELECT DISTINCT u, v FROM ("
+        "SELECT src AS u, dst AS v FROM edges "
+        "UNION ALL SELECT dst AS u, src AS v FROM edges) t WHERE u <> v)",
+        "l0 AS MATERIALIZED (SELECT id, id AS label FROM verts)",
+    ]
+    for i in range(1, k + 1):
+        parts += [
+            f"c{i} AS MATERIALIZED (SELECT s.v AS vid, l.label, count(*) AS cnt"
+            f" FROM sym s JOIN l{i - 1} l ON s.u = l.id GROUP BY 1, 2)",
+            f"b{i} AS MATERIALIZED (SELECT vid, label AS new_label FROM ("
+            f"SELECT vid, label, row_number() OVER (PARTITION BY vid"
+            f" ORDER BY cnt DESC, label ASC) AS rn FROM c{i}) t WHERE rn = 1)",
+            f"l{i} AS MATERIALIZED (SELECT l.id,"
+            f" coalesce(b.new_label, l.label) AS label"
+            f" FROM l{i - 1} l LEFT JOIN b{i} b ON l.id = b.vid)",
+        ]
+    return ",\n".join(parts) + f"\nSELECT id, label FROM l{k}"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -474,9 +533,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank_2rounds": _PAGERANK_PRELUDE
         + "SELECT id, round(rank, 6) AS rank FROM final",
+        "pagerank_10rounds": _pagerank_rounds_sql(10)
+        + "SELECT id, round(rank, 6) AS rank FROM final",
+        # engine stops at L1 <= 1e-10; the fixed 60-round unroll is past
+        # that point, and both sit ~1e-11-deep at the unique fixed point,
+        # far inside the 6-dp rounding — verified exact-equal at sf0.01.
+        "pagerank_converged": _pagerank_rounds_sql(60)
+        + "SELECT id, round(rank, 6) AS rank FROM final",
         "top20_pagerank": _PAGERANK_PRELUDE
         + """SELECT id, round(rank, 6) AS rank FROM final
              ORDER BY round(rank, 6) DESC, id LIMIT 20""",
+        "connected_components": f"""
+            WITH RECURSIVE edges AS ({_EDGES_SQL}),
+            verts AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+            sym AS (SELECT DISTINCT u, v FROM (
+                SELECT src AS u, dst AS v FROM edges
+                UNION ALL SELECT dst AS u, src AS v FROM edges) t WHERE u <> v),
+            -- min-label reachability: a label l spreads from its vertex
+            -- along any path whose every subsequent vertex is > l; the
+            -- component minimum satisfies this on every path, so
+            -- min(label) per id is exactly the component minimum.
+            r(id, label) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT e.v AS id, r.label FROM r JOIN sym e ON e.u = r.id
+                WHERE r.label < e.v
+            )
+            SELECT id, min(label) AS component FROM r GROUP BY id
+        """,
         "cc_one_round": f"""
             WITH edges AS ({_EDGES_SQL}),
             verts AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
@@ -632,8 +716,100 @@ def oracle_sql() -> dict[str, str]:
                        unnest(generate_series(1, greatest(dur // 1000, 1))) AS i
                 FROM v) t
         """,
-        # Iterative fixpoints (pagerank_converged, connected_components,
-        # label_propagation) and hash-family ops (minhash/simhash/lsh/
-        # fingerprint/lang_id/embedding_near_dup) are rows-only here;
-        # their exactness is pinned by pytest oracles (tests/).
+        "label_propagation": _lpa_rounds_sql(10),
+        "doc_fingerprint": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS norm
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN norm = '' THEN 0 ELSE
+                     list_reduce(
+                       list_prepend(0::HUGEINT,
+                         list_transform(split(norm || ' ', ''),
+                                        c -> ord(c)::HUGEINT)),
+                       (a, b) -> (a * 1000003 + b) % 2305843009213693951)::BIGINT
+                   END AS fingerprint
+            FROM n
+        """,
+        "lang_id": r"""
+            WITH h2 AS (
+              SELECT doc_id, substr(coalesce(text, ''), 1, 2000) AS h
+              FROM documents),
+            w AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(h), '[a-zA-Zäöüéèêàçñ]+') AS words,
+                     length(regexp_replace(h, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+                     greatest(length(h), 1) AS hl
+              FROM h2),
+            c AS (
+              SELECT doc_id, cjk, hl, words,
+                len(list_filter(words, x -> list_contains(
+                  ['the','and','of','to','is','that','with','for'], x))) AS c_en,
+                len(list_filter(words, x -> list_contains(
+                  ['der','die','und','das','ist','nicht','ein','mit'], x))) AS c_de,
+                len(list_filter(words, x -> list_contains(
+                  ['le','la','les','et','est','une','que','des'], x))) AS c_fr,
+                len(list_filter(words, x -> list_contains(
+                  ['el','la','los','que','es','una','por','con'], x))) AS c_es
+              FROM w)
+            SELECT doc_id,
+              CASE
+                WHEN cjk > 0 AND cjk::DOUBLE / hl > 0.05 THEN 'zh'
+                WHEN len(words) = 0 THEN 'und'
+                WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+                WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+                WHEN c_en = greatest(c_en, c_fr, c_es) THEN 'en'
+                WHEN c_es = greatest(c_fr, c_es) THEN 'es'
+                ELSE 'fr'
+              END AS lang_pred
+            FROM c
+        """,
+        # minhash_dedup's LSH stage is exact-verified (jaccard join) and
+        # deterministic; the oracle is the exact all-pairs >= 0.8 set.
+        # Verified recall = 1.0 on this corpus (all near-dup pairs have
+        # J >= 0.9; deterministic per-pair miss probability < 2e-4).
+        "minhash_dedup": """
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                         regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                         ' +'), x -> x <> '') AS t
+              FROM documents),
+            grams AS MATERIALIZED (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN
+                         list_distinct(list_transform(range(1, len(t) - 1),
+                             i -> array_to_string(t[i:i+2], ' ')))
+                     ELSE [array_to_string(t, ' ')] END AS g
+              FROM toks),
+            ex AS MATERIALIZED (SELECT doc_id, unnest(g) AS gram FROM grams),
+            sizes AS MATERIALIZED (
+              SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+            inter AS MATERIALIZED (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8
+        """,
+        # exact all-pairs cosine >= threshold; the corpus has no pair
+        # above 0.52, so both sides must (and do) return the empty set —
+        # this still catches any false positive from the LSH bucketing.
+        "embedding_near_dup": """
+            WITH e AS MATERIALIZED (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+        """,
+        # Still rows-only: ann_topk_lsh and simhash_near_dup, whose
+        # output is defined BY an approximation family (hyperplane /
+        # xxhash64 signatures) that ANSI SQL cannot reproduce; their
+        # exactness is pinned by pytest oracles (tests/).
     }

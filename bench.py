@@ -9,9 +9,11 @@ Prints ONE JSON line:
 The BASELINE.json target metric is edges/sec per superstep on the
 PageRank hot loop; measured here on a deterministic seeded synthetic
 graph (N=1e6, meanInDeg 6 => ~5.3M unique edges — the reference's law,
-CreateSyntheticGraphSeed.java:145-147) over fixed supersteps, plus the
-sf-dir relational/graph suite. Scaling evidence (local[8] vs local[32])
-is produced by scripts/scaling_bench.py -> BENCH.md.
+CreateSyntheticGraphSeed.java:145-147) over fixed supersteps with the
+CSR-in-Arrow kernel (steady = min of post-warm-up rounds; the df loop
+is timed alongside), plus the sf-dir relational/graph suite. Scaling
+evidence (2/8/32 cores) is produced by scripts/scaling_bench.py ->
+BENCH.md.
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SYNTH_N = int(os.environ.get("BENCH_SYNTH_N", "1000000"))
-SYNTH_ROUNDS = int(os.environ.get("BENCH_SYNTH_ROUNDS", "5"))
+SYNTH_ROUNDS = int(os.environ.get("BENCH_SYNTH_ROUNDS", "8"))
 SYNTH_CACHE = os.environ.get(
     "BENCH_SYNTH_CACHE", f"/tmp/dxa_bench_edges_n{SYNTH_N}"
 )
@@ -70,21 +72,34 @@ def main() -> None:
         return out
 
     # --- synthetic PageRank hot loop: the BASELINE.json metric ---
+    # csr (the north_star kernel) is the headline; the general df loop
+    # is timed alongside. Steady-state = min of rounds 4.. (first 3 are
+    # warm-up; this host is shared, see BENCH.md for the methodology).
+    from dxa_pagerank_spark.operators.pagerank_csr import pagerank_csr
+
     synth = _synth_edges_parquet(spark)
     n_edges = synth.count()
     t0 = time.monotonic()
-    res = pagerank(
-        spark, synth, damping=0.85, threshold=1e-12,  # never converges in 5
+    res = pagerank_csr(
+        spark, synth, num_vertices=SYNTH_N, damping=0.85,
+        threshold=1e-15,  # never converges in SYNTH_ROUNDS
         max_rounds=SYNTH_ROUNDS, num_partitions=CPUS,
     )
     synth_total = time.monotonic() - t0
-    per_round = (
-        sum(res.round_ms) / 1000.0 / max(res.rounds, 1)
-        if res.round_ms
-        else synth_total / max(res.rounds, 1)
-    )
+    steady = res.round_ms[3:] if len(res.round_ms) > 3 else res.round_ms[-1:]
+    per_round = min(steady) / 1000.0
     edges_per_sec = n_edges / per_round
-    timings["pagerank_synth_1m"] = round(synth_total, 3)
+    timings["pagerank_csr_synth"] = round(synth_total, 3)
+
+    t0 = time.monotonic()
+    df_res = pagerank(
+        spark, synth, damping=0.85, threshold=1e-15,
+        max_rounds=SYNTH_ROUNDS, num_partitions=CPUS,
+    )
+    timings["pagerank_df_synth"] = round(time.monotonic() - t0, 3)
+    df_steady = (
+        df_res.round_ms[3:] if len(df_res.round_ms) > 3 else df_res.round_ms[-1:]
+    )
 
     # --- sf-dir suite ---
     sf_edges = entrymod._edges(spark, SF_DIR)
@@ -135,6 +150,9 @@ def main() -> None:
                     "rounds": res.rounds,
                     "sec_per_round": round(per_round, 3),
                     "cores": CPUS,
+                    "csr_round_ms": res.round_ms,
+                    "df_round_ms": df_res.round_ms,
+                    "df_edges_per_sec": round(n_edges / (min(df_steady) / 1000.0)),
                 },
             }
         )

@@ -45,3 +45,21 @@ def test_csr_matches_dataframe_impl(spark):
     assert a.rounds == b.rounds
     np.testing.assert_allclose(_vec(a, n), _vec(b, n), atol=1e-10)
     np.testing.assert_allclose(np.array(a.errors), np.array(b.errors), atol=1e-12)
+
+
+def test_csr_batch_boundary_merge(spark, monkeypatch):
+    """Force many tiny Arrow batches per partition so dst segments
+    straddle batch boundaries — covers the in-kernel merge that the
+    driver's scatter-assemble relies on (operators/pagerank_csr.py)."""
+    import dxa_pagerank_spark.operators.pagerank_csr as mod
+
+    monkeypatch.setattr(mod, "_ARROW_BATCH_ROWS", 16)
+    n = 300
+    src, dst = synthetic_edges(n, 0.6, 6, 7, n_slaves=1)
+    oracle = pagerank_oracle(n, src, dst, 0.85, 1e-10, 100)
+    res = pagerank_csr(
+        spark, edges_to_spark(spark, src, dst), num_vertices=n,
+        threshold=1e-10, max_rounds=100, num_partitions=2,
+    )
+    assert res.rounds == oracle.rounds
+    np.testing.assert_allclose(_vec(res, n), oracle.ranks, atol=1e-9)

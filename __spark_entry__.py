@@ -168,6 +168,54 @@ def q_triangle_count(spark, sf_dir):
     return triangle_count_df(spark, _edges(spark, sf_dir))
 
 
+def q_clustering_coeff(spark, sf_dir):
+    from dxa_pagerank_spark.operators.triangles import clustering_coefficients
+
+    return clustering_coefficients(spark, _edges(spark, sf_dir)).select(
+        "id", F.round("clustering", 6).alias("clustering")
+    )
+
+
+def q_graph_summary(spark, sf_dir):
+    """1-row structural summary of the edge table (all exact counts)."""
+    e = _edges(spark, sf_dir)
+    und = (
+        e.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    verts = e.select(F.col("src").alias("id")).union(
+        e.select(F.col("dst").alias("id"))
+    ).distinct()
+    recip = (
+        e.alias("x")
+        .join(
+            e.alias("y"),
+            (F.col("x.src") == F.col("y.dst"))
+            & (F.col("x.dst") == F.col("y.src"))
+            & (F.col("x.src") != F.col("x.dst")),
+            "left_semi",
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+    return spark.createDataFrame(
+        [
+            (
+                verts.count(),
+                e.count(),
+                und.count(),
+                e.filter(F.col("src") == F.col("dst")).count(),
+                recip.count(),
+            )
+        ],
+        "n_vertices long, n_edges long, n_und_edges long, "
+        "n_self_loops long, n_reciprocal long",
+    )
+
+
 def q_tpch_q1ish(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -420,6 +468,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_one_round": q_lpa_one_round,
         "label_propagation": q_label_propagation,
         "triangle_count": q_triangle_count,
+        "clustering_coeff": q_clustering_coeff,
+        "graph_summary": q_graph_summary,
         "tpch_q1ish": q_tpch_q1ish,
         "supplier_revenue": q_supplier_revenue,
         "events_window_agg": q_events_window_agg,
@@ -592,6 +642,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_triangles
             FROM und e1 JOIN und e2 ON e2.a = e1.b
                  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "clustering_coeff": f"""
+            WITH edges AS MATERIALIZED ({_EDGES_SQL}),
+            verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+            sym AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+                SELECT src AS u, dst AS v FROM edges
+                UNION ALL SELECT dst AS u, src AS v FROM edges) t WHERE u <> v),
+            deg AS MATERIALIZED (SELECT u AS id, count(*) AS d FROM sym GROUP BY u),
+            und AS MATERIALIZED (SELECT u AS a, v AS b FROM sym WHERE u < v),
+            tri AS MATERIALIZED (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1 JOIN und e2 ON e2.a = e1.b
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+            tv AS MATERIALIZED (
+                SELECT id, count(*) AS t FROM (
+                    SELECT x AS id FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri) u GROUP BY id)
+            SELECT verts.id,
+                   round(CASE WHEN coalesce(deg.d, 0) >= 2
+                              THEN 2.0 * coalesce(tv.t, 0) / (deg.d * (deg.d - 1))
+                              ELSE 0.0 END, 6) AS clustering
+            FROM verts
+            LEFT JOIN deg ON verts.id = deg.id
+            LEFT JOIN tv ON verts.id = tv.id
+        """,
+        "graph_summary": f"""
+            WITH edges AS MATERIALIZED ({_EDGES_SQL})
+            SELECT
+              (SELECT count(*) FROM (SELECT src AS id FROM edges
+                                     UNION SELECT dst FROM edges) v) AS n_vertices,
+              (SELECT count(*) FROM edges) AS n_edges,
+              (SELECT count(*) FROM (SELECT DISTINCT least(src, dst), greatest(src, dst)
+                                     FROM edges WHERE src <> dst) u) AS n_und_edges,
+              (SELECT count(*) FROM edges WHERE src = dst) AS n_self_loops,
+              (SELECT count(*) FROM (SELECT DISTINCT x.src, x.dst FROM edges x
+                   JOIN edges y ON x.src = y.dst AND x.dst = y.src
+                   WHERE x.src <> x.dst) r) AS n_reciprocal
         """,
         "tpch_q1ish": """
             SELECT l_returnflag, l_linestatus,

@@ -71,3 +71,62 @@ def triangle_count_df(spark: SparkSession, edges: DataFrame) -> DataFrame:
     """1-row DataFrame (n_triangles long) — for the driver contract."""
     n = triangle_count(spark, edges)
     return spark.createDataFrame([(n,)], "n_triangles long")
+
+
+def clustering_coefficients(
+    spark: SparkSession, edges: DataFrame
+) -> DataFrame:
+    """-> (id, clustering) local clustering coefficient per vertex of
+    the undirected simple graph: 2*T(v) / (d(v)*(d(v)-1)), 0 when
+    d(v) < 2. Same degree-ordered enumeration as triangle_count (each
+    triangle closed exactly once), then each closed triangle credits
+    its three vertices — still skew-safe on hub vertices."""
+    from .components import _symmetrize
+    from .pagerank import vertex_universe
+
+    verts = vertex_universe(spark, edges)
+    o = _oriented(edges).localCheckpoint(eager=True)
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (
+            (F.col("e1.dst_deg") < F.col("e2.dst_deg"))
+            | (
+                (F.col("e1.dst_deg") == F.col("e2.dst_deg"))
+                & (F.col("e1.dst") < F.col("e2.dst"))
+            )
+        ),
+    ).select(
+        F.col("e1.src").alias("p"),
+        F.col("e1.dst").alias("a"),
+        F.col("e2.dst").alias("b"),
+    )
+    closing = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    tri = wedges.join(closing, ["a", "b"], "inner")
+    tri_per_vertex = (
+        tri.select(F.explode(F.array("p", "a", "b")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    sym = _symmetrize(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    )
+    deg = sym.groupBy(F.col("u").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    return (
+        verts.join(deg, "id", "left")
+        .join(tri_per_vertex, "id", "left")
+        .select(
+            "id",
+            F.when(
+                F.coalesce(F.col("d"), F.lit(0)) >= 2,
+                2.0
+                * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )

@@ -120,3 +120,43 @@ def test_triangles_hub_no_blowup(spark):
     n, src, dst = hub_graph(501)
     expected = triangle_count_oracle(n, src, dst)
     assert triangle_count(spark, edges_to_spark(spark, src, dst)) == expected
+
+
+def _clustering_oracle(n, src, dst):
+    """Brute-force local clustering coefficient over the undirected
+    simple graph."""
+    nbrs = [set() for _ in range(n)]
+    for s, d in zip(src, dst):
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    out = {}
+    for v in range(n):
+        d = len(nbrs[v])
+        if d < 2:
+            out[v] = 0.0
+            continue
+        t = 0
+        for a in nbrs[v]:
+            for b in nbrs[v]:
+                if a < b and b in nbrs[a]:
+                    t += 1
+        out[v] = 2.0 * t / (d * (d - 1))
+    return out
+
+
+def test_clustering_coefficients(spark):
+    from dxa_pagerank_spark.operators.triangles import clustering_coefficients
+
+    n = 120
+    src, dst = fast_synthetic_edges(n, 5, seed=13)
+    oracle = _clustering_oracle(n, src, dst)
+    got = {
+        r["id"]: r["clustering"]
+        for r in clustering_coefficients(
+            spark, edges_to_spark(spark, src, dst)
+        ).collect()
+    }
+    assert set(got) == {v for v in range(n) if v in set(src) | set(dst)}
+    for v, c in got.items():
+        assert abs(c - oracle[v]) < 1e-12, (v, c, oracle[v])

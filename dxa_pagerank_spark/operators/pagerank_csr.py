@@ -134,7 +134,9 @@ def _pagerank_csr_impl(
                 # dsts are pre-sorted within the partition, so segment
                 # starts are a linear scan.
                 starts = np.flatnonzero(np.r_[True, dsts[1:] != dsts[:-1]])
-                ids.append(dsts[starts].astype(np.int64, copy=False))
+                # ids keep the (int32/int64) width they arrived with —
+                # the driver decodes with the matching dtype.
+                ids.append(dsts[starts])
                 sums.append(np.add.reduceat(vals, starts))
             uq = (
                 np.concatenate(ids) if ids else np.empty(0, dtype=np.int64)
@@ -167,8 +169,9 @@ def _pagerank_csr_impl(
             # merged in the kernel, so assembly is a pure scatter — O(|V|)
             # assignment, ~10x cheaper than bincount's add-accumulate.
             contrib = np.zeros(n)
+            id_dtype = np.int32 if n < 2**31 else np.int64
             for ids_b, sums_b in zip(partials["ids"], partials["contribs"]):
-                idx = np.frombuffer(ids_b, dtype=np.int64)
+                idx = np.frombuffer(ids_b, dtype=id_dtype)
                 contrib[idx] = np.frombuffer(sums_b, dtype=np.float64)
             return contrib
         finally:

@@ -41,7 +41,6 @@ def exact_dup_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
 
 def exact_dedup(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Keep the min-id representative per exact content hash."""
-    h = F.md5(F.col(text_col).cast("binary")).alias("_h")
     with_h = documents.withColumn("_h", F.md5(F.col(text_col).cast("binary")))
     keep = with_h.groupBy("_h").agg(F.min(id_col).alias(id_col))
     return with_h.join(keep, [id_col, "_h"], "left_semi").drop("_h")

@@ -295,6 +295,18 @@ def pagerank(
                 + F.lit(damping * dangling * inv_n)
             ).alias("rank"),
         )
+        # materialize so the cached inputs below can be released without
+        # forcing a recompute when the caller consumes result.ranks
+        .localCheckpoint(eager=True)
     )
     result.ranks = ranks.select("id", "rank").unionByName(dang_ranks)
+    # cache hygiene: everything persisted inside this call is now either
+    # consumed or checkpointed — release it so repeated pagerank() calls
+    # in one session don't accumulate storage (VERDICT r01 #4).
+    for cached in (adj, adj_to_dang, dang, hubs):
+        if cached is not None:
+            try:
+                cached.unpersist()
+            except Exception:
+                pass
     return result

@@ -95,39 +95,89 @@ def main() -> None:
     os.makedirs(out, exist_ok=True)
 
     if args.printPR:
-        # "name rank" text lines, 1-based names, plain decimal
+        # "name rank" text lines, 1-based names, plain decimal (never
+        # scientific, never locale-grouped — format parity with
+        # BigDecimal.toPlainString, PRInfoTask.java:83-86; VERDICT r01 #6)
         (
             res.ranks.select(
                 F.concat_ws(
                     " ",
                     (F.col("id") + 1).cast("string"),
-                    F.format_number(F.col("rank"), 12),
+                    F.format_string("%.12f", F.col("rank")),
                 ).alias("value")
             )
             .write.mode("overwrite")
             .text(os.path.join(out, "pageRank"))
         )
 
-    with open(os.path.join(out, "statistics.out"), "w") as f:
-        f.write(f"NUM_SLAVES\t{args.cores}\n")
-        f.write(f"NUM_VERTICES\t{args.vertexCnt}\n")
-        f.write(f"NUM_EDGES\t{res.num_edges}\n")
-        f.write(f"DAMPING_VAL\t{args.damping}\n")
-        f.write(f"THRESHOLD\t{args.threshold}\n")
-        if synthetic:
-            f.write(f"LOCALITY\t{locality}\n")
-            f.write(f"MEAN_INDEG\t{mean_indeg}\n")
-        else:
-            f.write(f"GRAPH_FILE\t{filename}\n")
-        f.write(f"NUM_ROUNDS\t{res.rounds}\n")
-        f.write(f"INPUT_TIME\t{input_time:.4f}s\n")
-        f.write(f"EXECUTION_TIME\t{exec_time:.4f}s\n\n")
-        f.write("--------ROUNDS--------\n")
-        f.write("Round\tError\tTime\n")
-        for i, (err, ms) in enumerate(zip(res.errors, res.round_ms), 1):
-            f.write(f"{i}\t{err:.12f}\t{ms / 1000:.4f}s\n")
+    write_statistics(
+        os.path.join(out, "statistics.out"),
+        out_dir=out,
+        graph_input=filename,
+        num_slaves=args.cores,
+        vertex_cnt=args.vertexCnt,
+        num_edges=res.num_edges,
+        damping=args.damping,
+        threshold=args.threshold,
+        locality=locality,
+        mean_indeg=mean_indeg,
+        input_time_s=input_time,
+        mem_usage_mb=_jvm_heap_used_mb(spark),
+        errors=res.errors,
+        round_ms=res.round_ms,
+    )
 
     print(f"converged={res.converged} rounds={res.rounds} out={out}")
+
+
+def _jvm_heap_used_mb(spark) -> float:
+    """Driver-JVM heap in MB — the MetaChunk m_memUsage analogue
+    (PrStatisticsJob.java publishes slave heap used, MainPR.java:117)."""
+    try:
+        rt = spark._jvm.java.lang.Runtime.getRuntime()  # noqa: SLF001
+        return (rt.totalMemory() - rt.freeMemory()) / (1024.0 * 1024.0)
+    except Exception:
+        return 0.0
+
+
+def write_statistics(
+    path: str,
+    out_dir: str,
+    graph_input: str,
+    num_slaves: int,
+    vertex_cnt: int,
+    num_edges: int,
+    damping: float,
+    threshold: float,
+    locality: float,
+    mean_indeg: int,
+    input_time_s: float,
+    mem_usage_mb: float,
+    errors: list,
+    round_ms: list,
+) -> None:
+    """statistics.out with the reference's exact line layout
+    (PrStatisticsJob.java:66-92): header comment, key\\tvalue block,
+    MEM_USAGE, then the ROUNDS table with no separating blank line."""
+    exec_time_s = sum(round_ms) / 1000.0
+    with open(path, "w") as f:
+        f.write(f"#Statistics for PageRank Run {out_dir} | {graph_input}\n\n")
+        f.write(f"NUM_SLAVES\t{num_slaves}\n")
+        f.write(f"NUM_VERTICES\t{vertex_cnt}\n")
+        f.write(f"NUM_EDGES\t{num_edges}\n")
+        f.write(f"DAMPING_VAL\t{damping}\n")
+        f.write(f"THRESHOLD\t{threshold}\n")
+        if graph_input == "SYNTHETIC":
+            f.write(f"LOCALITY\t{locality}\n")
+            f.write(f"MEAN_INDEG\t{mean_indeg}\n")
+        f.write(f"NUM_ROUNDS\t{len(round_ms)}\n")
+        f.write(f"INPUT_TIME\t{input_time_s:.4f}s\n")
+        f.write(f"EXECUTION_TIME\t{exec_time_s:.4f}s\n")
+        f.write(f"MEM_USAGE\t{mem_usage_mb:.4f}MB\n")
+        f.write("--------ROUNDS--------\n")
+        f.write("Round\tError\tTime\n")
+        for i, (err, ms) in enumerate(zip(errors, round_ms), 1):
+            f.write(f"{i}\t{err:.12f}\t{ms / 1000:.4f}s\n")
 
 
 if __name__ == "__main__":

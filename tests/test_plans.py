@@ -80,6 +80,20 @@ def test_minhash_signatures_jvm_side(spark):
     assert "ArrowEvalPython" not in plan  # xxhash64 min-aggs are JVM-side
 
 
+def test_edgelist_source_is_jvm_only(spark, tmp_path):
+    """The line-number recovery must not round-trip rows through Python
+    (VERDICT r01 #1): no BatchEvalPython / ArrowEvalPython in the scan."""
+    from dxa_pagerank_spark.sources.edgelist import read_in_edge_list
+
+    path = tmp_path / "g.txt"
+    path.write_text("2 3\n1\n0\n1 2\n")
+    edges, n = read_in_edge_list(spark, str(path))
+    assert n == 4
+    plan = _plan(edges)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 def test_results_invariant_across_partitioning(spark):
     """SURVEY §5.2.4: same scores within 1e-9 across partition counts."""
     from dxa_pagerank_spark.operators.pagerank import pagerank

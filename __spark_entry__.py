@@ -582,6 +582,128 @@ def _lpa_rounds_sql(k: int) -> str:
     return ",\n".join(parts) + f"\nSELECT id, label FROM l{k}"
 
 
+def _fnv32_fold_sql(offset: int) -> str:
+    """DuckDB FNV-1a-32 left fold over a token's characters — exact
+    replica of functions.dedup.fnv1a32_col (the prepended offset is the
+    fold's initial accumulator)."""
+    return (
+        f"list_reduce(list_prepend({offset}::BIGINT, "
+        "list_transform(split(tok, ''), c -> ord(c)::BIGINT)), "
+        "(a, b) -> (xor(a, b) * 16777619) % 4294967296)"
+    )
+
+
+def _simhash_near_dup_sql(max_hamming: int = 3) -> str:
+    """Exact SQL oracle for the full SimHash pipeline: per-doc 64-bit
+    signature from the same FNV-1a-32 token-hash pair the engine folds
+    JVM-side, then ALL-PAIRS popcount(xor) <= max_hamming.  The engine's
+    16-bit-block candidate join is pigeonhole-exhaustive for
+    hamming <= 3, so its output must equal this exact set — the oracle
+    therefore checks both the hash math and the blocking recall."""
+    pow2 = ",".join(f"({j}, {1 << j}::HUGEINT)" for j in range(64))
+    return f"""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id, unnest(list_filter(string_split_regex(
+              regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +'),
+              x -> x <> '')) AS tok
+          FROM documents),
+        h AS MATERIALIZED (
+          SELECT doc_id,
+                 {_fnv32_fold_sql(2166136261)} AS h_lo,
+                 {_fnv32_fold_sql(0xCBF29CE4)} AS h_hi
+          FROM toks),
+        bits AS MATERIALIZED (
+          SELECT doc_id, jj.j,
+                 sum(CASE WHEN ((CASE WHEN jj.j >= 32 THEN h_hi ELSE h_lo END
+                                 >> (jj.j % 32)) & 1) = 1
+                          THEN 1 ELSE -1 END) AS s
+          FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS j) jj
+          GROUP BY doc_id, jj.j),
+        sigs AS MATERIALIZED (
+          SELECT doc_id,
+                 (CASE WHEN u >= 9223372036854775808::HUGEINT
+                       THEN u - 18446744073709551616::HUGEINT
+                       ELSE u END)::BIGINT AS simhash
+          FROM (SELECT doc_id,
+                       sum(CASE WHEN s > 0 THEN p.v ELSE 0::HUGEINT END) AS u
+                FROM bits
+                JOIN (SELECT * FROM (VALUES {pow2}) AS t(j, v)) p
+                  ON p.j = bits.j
+                GROUP BY doc_id) t)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+def _sql_double(x: float) -> str:
+    """Literal that DuckDB parses directly as DOUBLE (exponent forces the
+    DOUBLE parser — a plain decimal literal would go through DECIMAL and
+    can land one ulp off for 17-significant-digit values)."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r or "inf" in r or "nan" in r) else r + "e0"
+
+
+def _ann_topk_lsh_sql(k: int = 10, n_bits: int = 16, n_blocks: int = 4) -> str:
+    """Exact SQL oracle for lsh_topk: the seeded hyperplanes are embedded
+    as DOUBLE literals and every dot product uses the same left-fold
+    order as the engine's F.aggregate, so signatures, buckets, candidate
+    sets and cosine ranks are bit-identical — SQL reproduces the whole
+    approximation family, not just a weaker invariant."""
+    from dxa_pagerank_spark.functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, n_bits, seed=7)
+    plane_rows = ",".join(
+        "(%d, [%s])" % (j, ",".join(_sql_double(x) for x in p))
+        for j, p in enumerate(planes)
+    )
+
+    def dot(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), "
+            "(x, y) -> x + y)"
+        )
+
+    bpb = n_bits // n_blocks
+    mask = (1 << bpb) - 1
+    return f"""
+        WITH planes AS MATERIALIZED (
+          SELECT * FROM (VALUES {plane_rows}) AS t(j, p)),
+        e AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sigs AS MATERIALIZED (
+          SELECT e.vec_id,
+                 sum(CASE WHEN {dot("p", "v")} > 0
+                          THEN (1::BIGINT << j) ELSE 0 END) AS sig
+          FROM e CROSS JOIN planes GROUP BY e.vec_id),
+        qs AS MATERIALIZED (
+          SELECT vec_id AS query_id, sig AS qsig FROM sigs WHERE vec_id < 5),
+        cand AS MATERIALIZED (
+          SELECT DISTINCT q.query_id, c.vec_id
+          FROM qs q
+          CROSS JOIN (SELECT unnest(range(0, {n_blocks})) AS b) bl
+          JOIN sigs c
+            ON ((q.qsig >> ({bpb} * bl.b)) & {mask})
+             = ((c.sig >> ({bpb} * bl.b)) & {mask})),
+        scored AS MATERIALIZED (
+          SELECT cand.query_id, cand.vec_id,
+                 {dot("q.v", "c.v")}
+                   / (sqrt({dot("q.v", "q.v")}) * sqrt({dot("c.v", "c.v")}))
+                   AS cos
+          FROM cand
+          JOIN e q ON q.vec_id = cand.query_id
+          JOIN e c ON c.vec_id = cand.vec_id),
+        ranked AS (
+          SELECT query_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, vec_id) AS rnk
+          FROM scored)
+        SELECT query_id, vec_id, round(cos, 6) AS cos_sim, rnk::INT AS rnk
+        FROM ranked WHERE rnk <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "out_degrees": f"""
@@ -817,20 +939,44 @@ def oracle_sql() -> dict[str, str]:
                 FROM v) t
         """,
         "label_propagation": _lpa_rounds_sql(10),
+        # Folds UTF-8 BYTES (codepoints expanded arithmetically), exactly
+        # like the engine's _fingerprint_one — not ord(c) — so the oracle
+        # holds on non-ASCII documents too (ADVICE r01). Tokenizer is the
+        # explicit ASCII whitespace class both sides.
         "doc_fingerprint": r"""
-            WITH n AS (
+            WITH t AS (
               SELECT doc_id,
-                     trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS norm
-              FROM documents)
+                     regexp_extract_all(coalesce(text, ''),
+                                        '[^ \t\n\r\f\v]+') AS toks
+              FROM documents),
+            b AS (
+              SELECT doc_id,
+                flatten(list_transform(toks, tok ->
+                  list_append(
+                    flatten(list_transform(split(tok, ''), c ->
+                      CASE
+                        WHEN ord(c) < 128 THEN [ord(c)::HUGEINT]
+                        WHEN ord(c) < 2048 THEN
+                          [(192 + ord(c)//64)::HUGEINT,
+                           (128 + ord(c)%64)::HUGEINT]
+                        WHEN ord(c) < 65536 THEN
+                          [(224 + ord(c)//4096)::HUGEINT,
+                           (128 + (ord(c)//64)%64)::HUGEINT,
+                           (128 + ord(c)%64)::HUGEINT]
+                        ELSE
+                          [(240 + ord(c)//262144)::HUGEINT,
+                           (128 + (ord(c)//4096)%64)::HUGEINT,
+                           (128 + (ord(c)//64)%64)::HUGEINT,
+                           (128 + ord(c)%64)::HUGEINT]
+                      END)),
+                    32::HUGEINT))) AS bytes
+              FROM t)
             SELECT doc_id,
-                   CASE WHEN norm = '' THEN 0 ELSE
-                     list_reduce(
-                       list_prepend(0::HUGEINT,
-                         list_transform(split(norm || ' ', ''),
-                                        c -> ord(c)::HUGEINT)),
+                   CASE WHEN len(bytes) = 0 THEN 0 ELSE
+                     list_reduce(list_prepend(0::HUGEINT, bytes),
                        (a, b) -> (a * 1000003 + b) % 2305843009213693951)::BIGINT
                    END AS fingerprint
-            FROM n
+            FROM b
         """,
         "lang_id": r"""
             WITH h2 AS (
@@ -908,8 +1054,10 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.9
         """,
-        # Still rows-only: ann_topk_lsh and simhash_near_dup, whose
-        # output is defined BY an approximation family (hyperplane /
-        # xxhash64 signatures) that ANSI SQL cannot reproduce; their
-        # exactness is pinned by pytest oracles (tests/).
+        # The two approximation-family queries get EXACT oracles too:
+        # the hyperplanes are literals and the token hash is an
+        # SQL-expressible FNV-1a fold, so DuckDB reproduces signatures,
+        # buckets and ranks bit-for-bit (see the builders above).
+        "ann_topk_lsh": _ann_topk_lsh_sql(),
+        "simhash_near_dup": _simhash_near_dup_sql(),
     }

@@ -187,10 +187,39 @@ def minhash_dedup_pairs(
 # SimHash
 # --------------------------------------------------------------------------
 
+# FNV-1a 32-bit: h = ((h XOR byte) * PRIME) mod 2^32.  Two independent
+# streams (standard offset basis / high word of the 64-bit basis) give
+# the 64 signature bits.  Chosen over xxhash64 because the fold is
+# expressible BOTH as Spark JVM expressions (products < 2^57: ANSI-safe
+# long arithmetic, whole-stage codegen) and as a DuckDB list_reduce —
+# so the full SimHash pipeline has an exact SQL oracle.
+FNV32_PRIME = 16777619
+FNV32_OFFSET_LO = 2166136261  # 0x811C9DC5, the FNV-1a 32-bit offset basis
+FNV32_OFFSET_HI = 0xCBF29CE4  # high word of the 64-bit basis 0xCBF29CE484222325
+_M32 = 1 << 32
+
+
+def fnv1a32_col(tok, offset: int):
+    """FNV-1a-32 of an ASCII token as a JVM expression (left fold over
+    characters; tokens from the [a-z0-9] tokenizer are single-byte, so
+    ascii(char) == utf-8 byte)."""
+    chars = F.filter(F.split(tok, ""), lambda c: c != "")
+    return F.aggregate(
+        chars,
+        F.lit(offset).cast("long"),
+        lambda acc, c: F.pmod(
+            acc.bitwiseXOR(F.ascii(c).cast("long")) * F.lit(FNV32_PRIME),
+            F.lit(_M32),
+        ),
+    )
+
+
 def simhash_signatures(
     documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash over unigram token hashes -> (doc_id, simhash)."""
+    """64-bit SimHash over unigram token hashes -> (doc_id, simhash).
+    Bit j comes from bit (j%32) of the lo (j<32) / hi (j>=32) FNV-1a-32
+    token hash stream."""
     toks = F.split(
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "), " +"
     )
@@ -198,13 +227,22 @@ def simhash_signatures(
     th = (
         documents.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
         .select("doc_id", F.explode("toks").alias("tok"))
-        .select("doc_id", F.xxhash64("tok").alias("h"))
+        .select(
+            "doc_id",
+            fnv1a32_col(F.col("tok"), FNV32_OFFSET_LO).alias("h_lo"),
+            fnv1a32_col(F.col("tok"), FNV32_OFFSET_HI).alias("h_hi"),
+        )
     )
     sums = th.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
+                F.when(
+                    F.shiftright(
+                        F.col("h_hi" if j >= 32 else "h_lo"), j % 32
+                    ).bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"b{j}")
             for j in range(64)
         ]

@@ -115,13 +115,19 @@ _FP_BASE = 1000003
 _FP_MOD = (1 << 61) - 1
 
 
+# Explicit ASCII whitespace class (== RE2's \s) instead of Python's
+# unicode-aware \S so the engine and the DuckDB oracle tokenize
+# identically on any input, not just ASCII (ADVICE r01).
+_FP_TOKEN_RE = re.compile(r"[^ \t\n\r\f\v]+")
+
+
 def _fingerprint_one(text: str | None) -> int:
-    """Deterministic 61-bit polynomial hash of the token stream (a
-    content fingerprint robust to whitespace layout)."""
+    """Deterministic 61-bit polynomial hash of the UTF-8 token-byte
+    stream (a content fingerprint robust to whitespace layout)."""
     if not text:
         return 0
     h = 0
-    for tok in re.findall(r"\S+", text):
+    for tok in _FP_TOKEN_RE.findall(text):
         for b in tok.encode("utf-8"):
             h = (h * _FP_BASE + b) % _FP_MOD
         h = (h * _FP_BASE + 0x20) % _FP_MOD

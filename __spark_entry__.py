@@ -349,6 +349,23 @@ def q_simhash_near_dup(spark, sf_dir):
     return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_minhash_dedup_groups(spark, sf_dir):
+    """The O(docs x bands) dedup-cluster path (star-collapsed buckets +
+    verify + connected components) — the scalable alternative to the
+    inherently-quadratic pairs output."""
+    from dxa_pagerank_spark.functions.dedup import minhash_dedup_groups
+
+    return minhash_dedup_groups(
+        spark, _t(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+def q_simhash_dedup_groups(spark, sf_dir):
+    from dxa_pagerank_spark.functions.dedup import simhash_dedup_groups
+
+    return simhash_dedup_groups(spark, _t(spark, sf_dir, "documents"), max_hamming=3)
+
+
 def q_lang_id(spark, sf_dir):
     from dxa_pagerank_spark.functions.textstats import with_lang_id
 
@@ -492,7 +509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "minhash_dedup": q_minhash_dedup,
+        "minhash_dedup_groups": q_minhash_dedup_groups,
         "simhash_near_dup": q_simhash_near_dup,
+        "simhash_dedup_groups": q_simhash_dedup_groups,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_near_dup": q_embedding_near_dup,
@@ -593,16 +612,12 @@ def _fnv32_fold_sql(offset: int) -> str:
     )
 
 
-def _simhash_near_dup_sql(max_hamming: int = 3) -> str:
-    """Exact SQL oracle for the full SimHash pipeline: per-doc 64-bit
-    signature from the same FNV-1a-32 token-hash pair the engine folds
-    JVM-side, then ALL-PAIRS popcount(xor) <= max_hamming.  The engine's
-    16-bit-block candidate join is pigeonhole-exhaustive for
-    hamming <= 3, so its output must equal this exact set — the oracle
-    therefore checks both the hash math and the blocking recall."""
+def _simhash_sigs_ctes() -> str:
+    """Shared CTE chain computing exact per-doc SimHash signatures in
+    SQL (FNV-1a-32 token-hash pair, identical to the engine's JVM fold).
+    Defines CTE ``sigs(doc_id, simhash)``."""
     pow2 = ",".join(f"({j}, {1 << j}::HUGEINT)" for j in range(64))
-    return f"""
-        WITH toks AS MATERIALIZED (
+    return f"""toks AS MATERIALIZED (
           SELECT doc_id, unnest(list_filter(string_split_regex(
               regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +'),
               x -> x <> '')) AS tok
@@ -629,12 +644,80 @@ def _simhash_near_dup_sql(max_hamming: int = 3) -> str:
                 FROM bits
                 JOIN (SELECT * FROM (VALUES {pow2}) AS t(j, v)) p
                   ON p.j = bits.j
-                GROUP BY doc_id) t)
+                GROUP BY doc_id) t)"""
+
+
+def _simhash_near_dup_sql(max_hamming: int = 3) -> str:
+    """Exact SQL oracle for the full SimHash pipeline: per-doc 64-bit
+    signature from the same FNV-1a-32 token-hash pair the engine folds
+    JVM-side, then ALL-PAIRS popcount(xor) <= max_hamming.  The engine's
+    16-bit-block candidate join is pigeonhole-exhaustive for
+    hamming <= 3, so its output must equal this exact set — the oracle
+    therefore checks both the hash math and the blocking recall."""
+    return f"""
+        WITH {_simhash_sigs_ctes()}
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                bit_count(xor(a.simhash, b.simhash))::INT AS hamming
         FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
+
+
+def _simhash_groups_sql(max_hamming: int = 3) -> str:
+    """Oracle for simhash_dedup_groups: connected components (recursive
+    min-label) over the exact all-pairs hamming <= k graph, every doc a
+    vertex, group = component min."""
+    return f"""
+        WITH RECURSIVE {_simhash_sigs_ctes()},
+        sym AS (
+          SELECT a.doc_id AS u, b.doc_id AS v
+          FROM sigs a JOIN sigs b ON a.doc_id <> b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}),
+        verts AS (SELECT doc_id AS id FROM documents),
+        r(id, label) AS (
+          SELECT id, id FROM verts
+          UNION
+          SELECT e.v, r.label FROM r JOIN sym e ON e.u = r.id
+          WHERE r.label < e.v)
+        SELECT id AS doc_id, min(label) AS group_id FROM r GROUP BY id
+    """
+
+
+_MINHASH_GROUPS_SQL = """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+                 regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                 ' +'), x -> x <> '') AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN
+                 list_distinct(list_transform(range(1, len(t) - 1),
+                     i -> array_to_string(t[i:i+2], ' ')))
+             ELSE [array_to_string(t, ' ')] END AS g
+      FROM toks),
+    ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8),
+    sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    verts AS (SELECT doc_id AS id FROM documents),
+    r(id, label) AS (
+      SELECT id, id FROM verts
+      UNION
+      SELECT e.v, r.label FROM r JOIN sym e ON e.u = r.id
+      WHERE r.label < e.v)
+    SELECT id AS doc_id, min(label) AS group_id FROM r GROUP BY id
+"""
 
 
 def _sql_double(x: float) -> str:
@@ -1060,4 +1143,11 @@ def oracle_sql() -> dict[str, str]:
         # buckets and ranks bit-for-bit (see the builders above).
         "ann_topk_lsh": _ann_topk_lsh_sql(),
         "simhash_near_dup": _simhash_near_dup_sql(),
+        # groups oracles are connected components over the EXACT pair
+        # graphs (all-pairs Jaccard / hamming), so they also re-verify
+        # that the star-collapsed candidate generation loses no
+        # connectivity on this corpus (recall 1.0, same argument as the
+        # minhash_dedup oracle note).
+        "minhash_dedup_groups": _MINHASH_GROUPS_SQL,
+        "simhash_dedup_groups": _simhash_groups_sql(),
     }

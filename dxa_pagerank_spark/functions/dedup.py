@@ -166,6 +166,193 @@ def jaccard_verify(
     )
 
 
+def _capped_bucket_edges(
+    keyed: DataFrame, bucket_cols: list[str], star_threshold: int
+) -> DataFrame:
+    """Candidate edges from hash buckets with a hard quadratic-blowup
+    cap: buckets with <= star_threshold members emit all pairs (full
+    within-bucket recall); larger buckets collapse to a star on the
+    bucket-min doc (one edge per member).
+
+    This bounds candidate generation at O(rows x star_threshold) instead
+    of O(|bucket|^2) — a single 1M-doc identical-boilerplate cluster
+    (routine in web corpora) would emit 5*10^11 pairs from an uncapped
+    bucket self-join, vs 1M star edges here. Star buckets preserve
+    bucket connectivity exactly (every member joins the rep), so
+    downstream verify+connected-components still recovers mega-clusters
+    of true duplicates; the only recall loss vs all-pairs is a
+    member-member pair inside a *mixed* mega-bucket whose rep matches
+    neither — and a mega-bucket that isn't near-duplicates is exactly
+    the hash-collision pathology the cap exists to contain.
+
+    ``keyed`` must have a ``doc_id`` column plus ``bucket_cols``; extra
+    columns are carried through on both sides as ``<col>_a``/``<col>_b``.
+    """
+    extra = [
+        c for c in keyed.columns if c != "doc_id" and c not in bucket_cols
+    ]
+    stats = keyed.groupBy(*bucket_cols).agg(
+        F.count(F.lit(1)).alias("_sz"), F.min("doc_id").alias("_rep")
+    )
+    sized = keyed.join(stats, bucket_cols)
+    a = sized.select(
+        *bucket_cols,
+        F.col("_sz"),
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(c).alias(f"{c}_a") for c in extra],
+    )
+    b = sized.select(
+        *bucket_cols,
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(c).alias(f"{c}_b") for c in extra],
+    )
+    small = (
+        a.filter(F.col("_sz") <= star_threshold)
+        .join(b, bucket_cols)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    rep_side = sized.filter(
+        (F.col("_sz") > star_threshold) & (F.col("doc_id") == F.col("_rep"))
+    ).select(
+        *bucket_cols,
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(c).alias(f"{c}_a") for c in extra],
+    )
+    large = (
+        sized.filter(
+            (F.col("_sz") > star_threshold) & (F.col("doc_id") != F.col("_rep"))
+        )
+        .select(
+            *bucket_cols,
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(c).alias(f"{c}_b") for c in extra],
+        )
+        .join(rep_side, bucket_cols)
+    )
+    out_cols = (
+        ["doc_a", "doc_b"]
+        + [f"{c}_a" for c in extra]
+        + [f"{c}_b" for c in extra]
+    )
+    return small.select(*out_cols).unionByName(large.select(*out_cols)).distinct()
+
+
+def lsh_candidate_edges_capped(
+    sigs: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    star_threshold: int = 64,
+) -> DataFrame:
+    """LSH banding with the quadratic-bucket cap (_capped_bucket_edges):
+    all pairs inside normal buckets, star edges inside mega-buckets."""
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[b * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    keyed = sigs.select("doc_id", F.posexplode(band_keys).alias("band", "key"))
+    return _capped_bucket_edges(keyed, ["band", "key"], star_threshold)
+
+
+def minhash_dedup_groups(
+    spark,
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    star_threshold: int = 64,
+) -> DataFrame:
+    """Scalable near-dup clustering -> (doc_id, group_id): capped LSH
+    candidates (O(docs x bands x star_threshold), never O(bucket^2)),
+    exact Jaccard verification of those edges only, then connected
+    components over the verified-edge graph; group_id = min doc_id of
+    the cluster.  Output is O(docs) rows — the right dedup API when
+    clusters can be huge (the all-pairs output of minhash_dedup_pairs
+    is itself quadratic in cluster size)."""
+    from ..operators.components import connected_components
+
+    sh = shingles(documents, id_col, text_col, n).persist()
+    try:
+        sigs = minhash_signatures(sh, num_hashes)
+        cands = lsh_candidate_edges_capped(
+            sigs, bands, num_hashes // bands, star_threshold
+        )
+        verified = jaccard_verify(sh, cands, threshold).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        return connected_components(
+            spark,
+            verified,
+            vertices=documents.select(F.col(id_col).alias("id")),
+        ).select(F.col("id").alias("doc_id"), F.col("component").alias("group_id"))
+    finally:
+        sh.unpersist()
+
+
+def simhash_dedup_groups(
+    spark,
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    star_threshold: int = 64,
+) -> DataFrame:
+    """SimHash counterpart of minhash_dedup_groups: capped 16-bit-block
+    buckets (all pairs in normal buckets, star edges in mega-buckets),
+    exact popcount verification of candidate edges, connected
+    components -> (doc_id, group_id). O(docs x 4 x star_threshold)
+    candidates regardless of cluster size."""
+    from ..operators.components import connected_components
+
+    sigs = simhash_signatures(documents, id_col, text_col)
+    blocks = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * k)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    for k in range(4)
+                ]
+            )
+        ).alias("blk", "blk_val"),
+    )
+    cands = _capped_bucket_edges(
+        blocks.select("doc_id", "simhash", "blk", "blk_val"),
+        ["blk", "blk_val"],
+        star_threshold,
+    )
+    edges = (
+        cands.select(
+            F.col("doc_a").alias("src"),
+            F.col("doc_b").alias("dst"),
+            F.bit_count(
+                F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("src", "dst")
+        .distinct()
+    )
+    return connected_components(
+        spark, edges, vertices=documents.select(F.col(id_col).alias("id"))
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("group_id"))
+
+
 def minhash_dedup_pairs(
     documents: DataFrame,
     id_col: str = "doc_id",

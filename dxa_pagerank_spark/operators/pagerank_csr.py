@@ -115,7 +115,7 @@ def _pagerank_csr_impl(
     inv_deg[nd] = 1.0 / out_deg[nd]
     bc_inv_deg = sc.broadcast(inv_deg)
 
-    def make_gather(bc_ranks):
+    def make_gather(bc_ranks, emit_ids: bool):
         def gather(
             it: Iterator[pa.RecordBatch],
         ) -> Iterator[pa.RecordBatch]:
@@ -153,25 +153,43 @@ def _pagerank_csr_impl(
                 starts = np.flatnonzero(np.r_[True, uq[1:] != uq[:-1]])
                 uq = uq[starts]
                 sm = np.add.reduceat(sm, starts)
-            yield pa.RecordBatch.from_pydict(
-                {"ids": [uq.tobytes()], "contribs": [sm.tobytes()]}
-            )
+            # the per-partition dst-id layout is STATIC across rounds
+            # (same cached adjacency, same partitioning): ship it only
+            # when the driver asks (round 1), afterwards contribs alone —
+            # at N=10M that removes ~40 MB of driver collect per round.
+            cells = {"contribs": [sm.tobytes()]}
+            if emit_ids:
+                cells["ids"] = [uq.tobytes()]
+            yield pa.RecordBatch.from_pydict(cells)
 
         return gather
+
+    # collected per-partition dst-id arrays (decoded once, reused)
+    part_ids: list[np.ndarray] = []
+    id_dtype = np.int32 if n < 2**31 else np.int64
 
     def full_contrib(ranks_np: np.ndarray) -> np.ndarray:
         bc = sc.broadcast(ranks_np)
         try:
+            first = not part_ids
+            schema = (
+                "contribs binary, ids binary" if first else "contribs binary"
+            )
             partials = adj.mapInArrow(
-                make_gather(bc), schema="ids binary, contribs binary"
+                make_gather(bc, emit_ids=first), schema=schema
             ).toPandas()
+            if first:
+                # toPandas concatenates partitions in order and each
+                # partition emits exactly one row, so row i is partition
+                # i in every round — the cached layout stays aligned.
+                part_ids.extend(
+                    np.frombuffer(b, dtype=id_dtype) for b in partials["ids"]
+                )
             # partitions are dst-disjoint and in-partition duplicates are
             # merged in the kernel, so assembly is a pure scatter — O(|V|)
             # assignment, ~10x cheaper than bincount's add-accumulate.
             contrib = np.zeros(n)
-            id_dtype = np.int32 if n < 2**31 else np.int64
-            for ids_b, sums_b in zip(partials["ids"], partials["contribs"]):
-                idx = np.frombuffer(ids_b, dtype=id_dtype)
+            for idx, sums_b in zip(part_ids, partials["contribs"]):
                 contrib[idx] = np.frombuffer(sums_b, dtype=np.float64)
             return contrib
         finally:

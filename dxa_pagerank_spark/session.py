@@ -41,6 +41,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Iterative gather joins probe a large CACHED adjacency against a
+        # small per-round rank table: sort-merge would re-sort the cached
+        # 10^8-row side every superstep. Shuffled-hash streams it and
+        # builds the hash map on the small side instead (plan-asserted in
+        # tests/test_plans.py; per-round timings in BENCH.md).
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Big Arrow batches: the CSR gather kernel is a vectorized NumPy
         # segment-sum — per-batch fixed overhead dominates at the default

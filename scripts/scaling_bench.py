@@ -108,26 +108,30 @@ def main() -> None:
         worker(sys.argv[2], int(sys.argv[3]), int(sys.argv[4]))
         return
 
-    results: dict[tuple[str, int], dict] = {}
+    # sessions: source tag -> {(loop, cores): row}. Efficiency ratios are
+    # only ever computed from rows of the SAME session (same worker-set
+    # run), so a regenerated report never compares across ambient-load
+    # conditions (ADVICE r01). The throughput table still shows the
+    # best-by-min row per config, tagged with its source session.
+    sessions: dict[str, dict[tuple[str, int], dict]] = {}
     if len(sys.argv) > 2 and sys.argv[1] == "--report":
         # Regenerate BENCH.md from worker JSON lines collected across one
         # or more prior runs (the host is shared — reruns let a worker
-        # catch a quiet window). Best-by-min per (loop, cores) wins.
+        # catch a quiet window). One file = one session.
         for path in sys.argv[2:]:
+            tag = os.path.basename(path)
+            sessions[tag] = {}
             with open(path) as f:
                 for ln in f:
                     if not ln.startswith('{"loop"'):
                         continue
                     r = json.loads(ln)
-                    key = (r["loop"], r["cores"])
-                    if (
-                        key not in results
-                        or r["sec_per_round_min"]
-                        < results[key]["sec_per_round_min"]
-                    ):
-                        results[key] = r
+                    r["source"] = tag
+                    sessions[tag][(r["loop"], r["cores"])] = r
     else:
         ensure_cache()
+        tag = "this-run"
+        sessions[tag] = {}
         for loop in LOOPS:
             for cores in CORES:
                 out = subprocess.run(
@@ -139,17 +143,32 @@ def main() -> None:
                 if not lines:
                     print(out.stdout[-2000:], out.stderr[-2000:], file=sys.stderr)
                     raise SystemExit(f"worker {loop}/{cores} failed")
-                results[(loop, cores)] = json.loads(lines[-1])
+                r = json.loads(lines[-1])
+                r["source"] = tag
+                sessions[tag][(loop, cores)] = r
                 print(lines[-1])
 
-    def eff(loop: str, lo: int, hi: int, key: str = "edges_per_sec") -> float | None:
-        a, b = results.get((loop, lo)), results.get((loop, hi))
-        if not a or not b:
-            return None
-        return round(b[key] / a[key] / (hi / lo), 3)
+    # best-by-min per config across sessions (throughput table only)
+    results: dict[tuple[str, int], dict] = {}
+    for rows_by_key in sessions.values():
+        for key, r in rows_by_key.items():
+            if (
+                key not in results
+                or r["sec_per_round_min"] < results[key]["sec_per_round_min"]
+            ):
+                results[key] = r
 
     n_edges = next(iter(results.values()))["n_edges"]
     pairs = [(lo, hi) for lo, hi in zip(CORES, CORES[1:]) if hi == 4 * lo]
+
+    def session_eff(loop, lo, hi, key):
+        """[(eff, source)] for every session holding BOTH configs."""
+        out = []
+        for tag, rows_by_key in sessions.items():
+            a, b = rows_by_key.get((loop, lo)), rows_by_key.get((loop, hi))
+            if a and b:
+                out.append((round(b[key] / a[key] / (hi / lo), 3), tag))
+        return out
 
     rows = []
     for loop in LOOPS:
@@ -159,16 +178,21 @@ def main() -> None:
                 rows.append(
                     f"| {loop} | local[{cores}] | {r['sec_per_round_steady']} "
                     f"| {r['sec_per_round_min']} | {r['edges_per_sec']:,} "
-                    f"| {r['edges_per_sec_min']:,} |"
+                    f"| {r['edges_per_sec_min']:,} | {r['source']} |"
                 )
     eff_rows = []
+    eff_report: dict[str, list] = {}
     for loop in LOOPS:
         for lo, hi in pairs:
-            e = eff(loop, lo, hi)
-            em = eff(loop, lo, hi, "edges_per_sec_min")
-            if e is not None:
+            meds = session_eff(loop, lo, hi, "edges_per_sec")
+            mins = session_eff(loop, lo, hi, "edges_per_sec_min")
+            eff_report[f"{loop}_{lo}to{hi}"] = [
+                {"median": m[0], "min": n[0], "source": m[1]}
+                for m, n in zip(meds, mins)
+            ]
+            for (e, tag), (em, _) in zip(meds, mins):
                 eff_rows.append(
-                    f"| {loop} | {lo} -> {hi} | {e} | **{em}** |"
+                    f"| {loop} | {lo} -> {hi} | {e} | **{em}** | {tag} |"
                 )
 
     csr32 = results.get(("csr", 32)) or results.get(("csr", max(CORES)))
@@ -180,14 +204,7 @@ def main() -> None:
         "input": {"n_vertices": N, "n_edges": n_edges,
                   "generator": "fast_synthetic_edges(N, mean_indeg=6, seed=42)"},
         "results": {f"{k[0]}_local{k[1]}": v for k, v in results.items()},
-        "efficiency_median": {
-            f"{loop}_{lo}to{hi}": eff(loop, lo, hi)
-            for loop in LOOPS for lo, hi in pairs
-        },
-        "efficiency_min": {
-            f"{loop}_{lo}to{hi}": eff(loop, lo, hi, "edges_per_sec_min")
-            for loop in LOOPS for lo, hi in pairs
-        },
+        "efficiency_same_session_pairs": eff_report,
     }
     print(json.dumps(report))
 
@@ -221,28 +238,36 @@ Two hot-loop implementations (both reference-semantics-exact, tested):
   partial/final agg, scales past rank-vector-in-memory
   (operators/pagerank.py).
 
-| loop | config | sec/round (median) | sec/round (min) | edges/s (median) | edges/s (min) |
-|---|---|---|---|---|---|
+Rows are tagged with the session (worker-set run) they came from; the
+throughput table shows the best-by-min row per config across sessions.
+
+| loop | config | sec/round (median) | sec/round (min) | edges/s (median) | edges/s (min) | session |
+|---|---|---|---|---|---|---|
 {chr(10).join(rows)}
 
 ## Scaling efficiency (N -> 4N cores, same input, same job)
 
-`eff = (thr_4N / thr_N) / 4` — target >= 0.8 (BASELINE.json).
+`eff = (thr_4N / thr_N) / 4` — target >= 0.8 (BASELINE.json). Every
+efficiency row is computed from two rows of the SAME session — never
+from rows measured under different ambient-load conditions. The
+driver-specified evidence pair on this 32-core box is
+local[8] -> local[32]; 2 -> 8 is reported as supplementary context.
 
-| loop | pair | eff (median) | eff (min) |
-|---|---|---|---|
+| loop | pair | eff (median) | eff (min) | session |
+|---|---|---|---|---|
 {chr(10).join(eff_rows)}
 
 Reading these numbers honestly:
 
-* The 2->8 pair is the fairer single-box proxy for adding executors: a
-  real cluster brings additional memory bandwidth and untouched cores
-  with every node, while this box carries ~6 ambient load, so
-  local[32] is oversubscribed before the job starts and
-  local[8]->local[32] additionally saturates one socket's shared
-  memory subsystem.
+* This box is shared (ambient load 6-20): local[32] is oversubscribed
+  before the job starts, and the 8->32 pair additionally saturates one
+  socket's memory subsystem — a real cluster adds memory bandwidth and
+  untouched cores with every node. Both facts depress the measured
+  8->32 efficiency below what N->4N executors on a real cluster would
+  show; the 2->8 pair is the less-contended proxy. Both are reported,
+  per-session, with raw rounds below.
 * The csr loop's driver-side work (broadcast publish, scatter
-  assemble, rank update; ~0.6-0.9s/round at N=10M) is its Amdahl
+  assemble, rank update; O(|V|)/round at N=10M) is its Amdahl
   floor on one box. On a real cluster the same design replaces the
   driver collect with per-executor-held partials, which is what the
   df loop already does distributedly — df is the scale path past
@@ -258,7 +283,7 @@ reference throughput on a single box).
 
 Raw per-round ms:
 
-{chr(10).join(f"* {loop} local[{c}]: {results[(loop, c)]['round_ms']}" for loop in LOOPS for c in CORES if (loop, c) in results)}
+{chr(10).join(f"* {loop} local[{c}] ({results[(loop, c)]['source']}): {results[(loop, c)]['round_ms']}" for loop in LOOPS for c in CORES if (loop, c) in results)}
 
 Reproduce: `python scripts/scaling_bench.py`
 (env: SCALING_N, SCALING_ROUNDS, SCALING_CORES, SCALING_LOOPS).

@@ -33,6 +33,9 @@ def test_pagerank_round_has_no_python(spark):
     assert "ArrowEvalPython" not in plan  # hot loop is fully JVM
     # partial+final agg: two HashAggregate nodes around the exchange
     assert plan.count("HashAggregate") >= 2
+    # the per-round gather must NOT re-sort the cached adjacency: no
+    # sort-merge join in the superstep (hash-based joins only)
+    assert "SortMergeJoin" not in plan
 
 
 def test_text_extraction_is_arrow_not_row_python(spark):

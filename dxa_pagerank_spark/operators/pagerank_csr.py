@@ -2,33 +2,41 @@
 
 Same reference-exact semantics as operators.pagerank (round-1 quirk,
 frozen dangling, non-dangling L1, restore pass — SURVEY.md §2.3), but
-the gather is a NumPy segment-sum inside a ``mapInPandas`` kernel over
-Arrow batches instead of a join+hash-agg:
+the gather is a NumPy segment-sum over per-partition CSR blocks instead
+of a join+hash-agg. Two exchange modes for the per-superstep rank
+vector:
 
-  * the edge table is hash-partitioned by ``dst`` and **sorted within
-    partitions by dst** once, then cached — the sorted Arrow batches of
-    (src, dst) ARE per-partition CSR blocks: segment boundaries are a
-    linear ``diff`` scan, so no per-round sort anywhere;
-  * the kernel is ``mapInArrow`` over ~1M-row record batches (the
-    10k-row default spends more time in per-batch plumbing than in the
-    gather; measured 5-10x on the JVM→Python stream), reading columns
-    zero-copy into NumPy;
-  * vertex ids travel as int32 when N < 2^31 (halves the JVM→Python
-    Arrow transfer for web-scale graphs up to 2B vertices);
-  * each superstep broadcasts the dense rank vector (8 bytes/vertex) to
-    executors; the kernel computes
-    ``contrib = reduceat(ranks[src] / out_deg[src], segment_starts)``
-    — no per-row Python, no |E|-row shuffle, ever;
-  * each partition returns ONE row of binary-packed (dst_ids, contribs)
-    arrays (~|V_p| entries), so the per-round driver collect is a few
-    dozen Arrow cells, not millions of rows; the driver assembles with
-    a single buffered ``np.bincount`` and applies the rank update /
-    error / dangling-mass bookkeeping in NumPy, exactly like the
-    reference master's MetaChunk reduction (MainPR.java:156-167) but
-    with the full vector.
+``exchange="shm"`` (default on local masters — the single-box
+accelerator path):
+  * ONE Spark pass builds the CSR blocks: the edge table is
+    hash-partitioned by ``dst``, sorted within partitions, and each
+    partition task writes its (dst_ids, segment_starts, srcs) arrays
+    to ``/dev/shm`` — after that the static adjacency never crosses
+    the JVM→Python boundary again;
+  * each superstep is a P-task job over ``spark.range(P)``: task i
+    memory-maps its CSR block, the shared read-only rank vector of the
+    previous round, and the shared output vector; it computes
+    ``contrib = reduceat(ranks[src] * invd[src], starts)``, writes its
+    (dst-disjoint, so race-free) slice of updated ranks directly into
+    the output map, and returns ONE row of two scalars (partial L1
+    error, partial rank sum) — the driver's per-round work is O(P)
+    scalars plus an O(uncovered) scatter, not O(|V|);
+  * rank vectors live in two alternating memory-mapped files on tmpfs:
+    one physical copy in the page cache shared by all workers
+    (vs. sc.broadcast: pickle + one deserialized copy PER worker).
+    On a multi-executor cluster the same dataflow is "executor-local
+    CSR cache + torrent-broadcast ranks"; this module implements the
+    local[] realization of it, and operators.pagerank (the shuffle
+    loop, no replicated vector) remains the 100-TB default.
 
-Scale envelope — be honest about it: this variant replicates the rank
-vector (numpy broadcast), so it applies while 8B x |V| fits in executor
+``exchange="broadcast"`` (fallback, any master): per round the dense
+rank vector is sc.broadcast to executors and per-partition partials
+are collected and scatter-assembled at the driver. Correct anywhere,
+but the driver-serial O(|V|) assembly is the measured Amdahl floor
+that caps single-box core-scaling (BENCH.md round 1).
+
+Scale envelope — be honest about it: both variants replicate the rank
+vector (8 bytes/vertex), so they apply while 8B x |V| fits in executor
 memory (~10^9 vertices at 8 GB). Past that, operators.pagerank's
 shuffle loop is the right plan; `pagerank()` stays the default API and
 this is the opt-in accelerator for the common web-graph regime.
@@ -37,6 +45,9 @@ Requires contiguous vertex ids [0, N).
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 import time
 from collections.abc import Iterator
 
@@ -51,6 +62,7 @@ from .pagerank import PageRankResult
 
 _ARROW_BATCH_CONF = "spark.sql.execution.arrow.maxRecordsPerBatch"
 _ARROW_BATCH_ROWS = 1 << 20
+_SHM_DIR = "/dev/shm"
 
 
 def pagerank_csr(
@@ -61,19 +73,34 @@ def pagerank_csr(
     threshold: float = 1e-3,
     max_rounds: int = 50,
     num_partitions: int | None = None,
+    exchange: str = "auto",
 ) -> PageRankResult:
     """Reference-semantics PageRank with the Arrow/NumPy gather kernel.
-    Returns ranks as a DataFrame like pagerank()."""
+    Returns ranks as a DataFrame like pagerank().
+
+    exchange: "shm" (tmpfs memory-mapped rank exchange, local masters
+    only), "broadcast" (sc.broadcast + driver assembly, any master),
+    or "auto" (shm when available, else broadcast).
+    """
+    if exchange == "auto":
+        exchange = "shm" if _shm_available(spark) else "broadcast"
     try:
         old_batch = spark.conf.get(_ARROW_BATCH_CONF)
     except Exception:
         old_batch = None
     spark.conf.set(_ARROW_BATCH_CONF, str(_ARROW_BATCH_ROWS))
     try:
-        return _pagerank_csr_impl(
-            spark, edges, num_vertices, damping, threshold, max_rounds,
-            num_partitions,
-        )
+        if exchange == "shm":
+            return _pagerank_csr_shm(
+                spark, edges, num_vertices, damping, threshold, max_rounds,
+                num_partitions,
+            )
+        if exchange == "broadcast":
+            return _pagerank_csr_broadcast(
+                spark, edges, num_vertices, damping, threshold, max_rounds,
+                num_partitions,
+            )
+        raise ValueError(f"unknown exchange mode {exchange!r}")
     finally:
         if old_batch is None:
             spark.conf.unset(_ARROW_BATCH_CONF)
@@ -81,7 +108,246 @@ def pagerank_csr(
             spark.conf.set(_ARROW_BATCH_CONF, old_batch)
 
 
-def _pagerank_csr_impl(
+def _shm_available(spark: SparkSession) -> bool:
+    """shm exchange needs driver+executors on one host (local master)
+    and a writable tmpfs."""
+    master = spark.sparkContext.master or ""
+    return (
+        master.startswith("local")
+        and os.path.isdir(_SHM_DIR)
+        and os.access(_SHM_DIR, os.W_OK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# shm exchange: CSR blocks + rank vectors in tmpfs memory-maps
+# ---------------------------------------------------------------------------
+
+def _pagerank_csr_shm(
+    spark: SparkSession,
+    edges: DataFrame,
+    num_vertices: int,
+    damping: float,
+    threshold: float,
+    max_rounds: int,
+    num_partitions: int | None,
+) -> PageRankResult:
+    sc = spark.sparkContext
+    P = num_partitions or sc.defaultParallelism
+    n = num_vertices
+    inv_n = 1.0 / n
+    idx_t = "int" if n < 2**31 else "long"
+    workdir = tempfile.mkdtemp(prefix="dxa_csr_", dir=_SHM_DIR)
+
+    def blk(pid: int, what: str) -> str:
+        return os.path.join(workdir, f"blk_{pid}_{what}.npy")
+
+    def write_blocks(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        srcs_l: list[np.ndarray] = []
+        dsts_l: list[np.ndarray] = []
+        for rb in it:
+            srcs_l.append(
+                rb.column(rb.schema.get_field_index("src")).to_numpy(
+                    zero_copy_only=True
+                )
+            )
+            dsts_l.append(
+                rb.column(rb.schema.get_field_index("dst")).to_numpy(
+                    zero_copy_only=True
+                )
+            )
+        if not srcs_l:
+            yield pa.RecordBatch.from_pydict(
+                {"part": [pid], "n_dst": [0], "n_edge": [0]}
+            )
+            return
+        srcs = np.concatenate(srcs_l)
+        dsts = np.concatenate(dsts_l)
+        # the partition is globally dst-sorted (sortWithinPartitions), so
+        # segment starts are one linear scan over the concatenation
+        starts = np.flatnonzero(np.r_[True, dsts[1:] != dsts[:-1]])
+        uq = dsts[starts]
+        np.save(blk(pid, "uq"), uq)
+        np.save(blk(pid, "starts"), starts.astype(np.int64))
+        np.save(blk(pid, "src"), srcs)
+        yield pa.RecordBatch.from_pydict(
+            {"part": [pid], "n_dst": [len(uq)], "n_edge": [len(srcs)]}
+        )
+
+    try:
+        adj = (
+            edges.select(
+                F.col("src").cast(idx_t).alias("src"),
+                F.col("dst").cast(idx_t).alias("dst"),
+            )
+            .repartition(P, "dst")
+            .sortWithinPartitions("dst")
+        )
+        stats = adj.mapInArrow(
+            write_blocks, schema="part long, n_dst long, n_edge long"
+        ).collect()
+        num_edges = int(sum(r["n_edge"] for r in stats))
+
+        # out-degrees / dangling / coverage — one driver pass over the
+        # saved per-partition arrays (page-cache reads, no second shuffle)
+        out_deg = np.zeros(n, dtype=np.float64)
+        covered = np.zeros(n, dtype=bool)
+        for r in stats:
+            if r["n_edge"] == 0:
+                continue
+            pid = r["part"]
+            srcs = np.load(blk(pid, "src"), mmap_mode="r")
+            out_deg += np.bincount(srcs, minlength=n)
+            covered[np.load(blk(pid, "uq"))] = True
+        nd = out_deg > 0
+        invd = np.zeros(n)
+        invd[nd] = 1.0 / out_deg[nd]
+        invd_path = os.path.join(workdir, "invd.npy")
+        np.save(invd_path, invd)
+        # vertices whose rank no kernel writes: non-dangling without
+        # in-edges (driver updates each round — their contrib is 0, one
+        # shared scalar) and dangling (frozen at 1/N: written once below)
+        unc_nd = np.flatnonzero(nd & ~covered)
+
+        rank_paths = [
+            os.path.join(workdir, "ranks_0.npy"),
+            os.path.join(workdir, "ranks_1.npy"),
+        ]
+        maps = []
+        for p in rank_paths:
+            mm = np.lib.format.open_memmap(
+                p, mode="w+", dtype=np.float64, shape=(n,)
+            )
+            mm[:] = inv_n
+            mm.flush()
+            maps.append(mm)
+
+        def make_round(in_path, out_path, dangling, restore):
+            # per-element arithmetic identical (left-to-right) to the
+            # broadcast variant and oracle.py:75-77
+            a = (1 - damping) * inv_n
+            dd = damping * dangling * inv_n
+            d = damping
+
+            def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                pid = int(next(iter(it))["id"].iloc[0])
+                uq_path = blk(pid, "uq")
+                if not os.path.exists(uq_path):
+                    yield pd.DataFrame({"err": [0.0], "psum": [0.0]})
+                    return
+                uq = np.asarray(np.load(uq_path, mmap_mode="r"))
+                starts = np.load(blk(pid, "starts"), mmap_mode="r")
+                srcs = np.load(blk(pid, "src"), mmap_mode="r")
+                iv = np.load(
+                    os.path.join(os.path.dirname(uq_path), "invd.npy"),
+                    mmap_mode="r",
+                )
+                w_path = blk(pid, "w")
+                if os.path.exists(w_path):
+                    w = np.load(w_path, mmap_mode="r")
+                else:
+                    # per-edge 1/out_deg is static: materialize once
+                    # (round 1), sequential reads afterwards
+                    w = iv[srcs]
+                    np.save(w_path, w)
+                ranks_v = np.load(in_path, mmap_mode="r")
+                out = np.lib.format.open_memmap(out_path, mode="r+")
+                vals = ranks_v[srcs] * w
+                contrib = np.add.reduceat(vals, starts)
+                iv_uq = iv[uq]
+                if restore:
+                    sel = iv_uq == 0.0  # dangling dst only
+                    ids = uq[sel]
+                    out[ids] = (a + d * contrib[sel]) + dd
+                    out.flush()
+                    yield pd.DataFrame({"err": [0.0], "psum": [0.0]})
+                    return
+                sel = iv_uq > 0.0  # non-dangling dst
+                ids = uq[sel]
+                new_vals = (a + d * contrib[sel]) + dd
+                old_vals = ranks_v[ids]
+                out[ids] = new_vals
+                out.flush()
+                yield pd.DataFrame(
+                    {
+                        "err": [float(np.abs(new_vals - old_vals).sum())],
+                        "psum": [float(new_vals.sum())],
+                    }
+                )
+
+            return run
+
+        drv = spark.range(0, P, 1, P)
+        schema = "err double, psum double"
+
+        ranks_cur = 0
+        dangling = inv_n  # round-1 quirk (MetaChunk.java:20)
+        prev_unc = inv_n
+        result = PageRankResult(
+            ranks=None, rounds=0, converged=False,
+            num_vertices=n, num_edges=num_edges,
+        )
+
+        for _ in range(max_rounds):
+            t0 = time.monotonic()
+            nxt = 1 - ranks_cur
+            a = (1 - damping) * inv_n
+            dd = damping * dangling * inv_n
+            unc_val = (a + damping * 0.0) + dd
+            if len(unc_nd):
+                maps[nxt][unc_nd] = unc_val
+            rows = drv.mapInPandas(
+                make_round(
+                    rank_paths[ranks_cur], rank_paths[nxt], dangling, False
+                ),
+                schema=schema,
+            ).collect()
+            err = float(sum(r["err"] for r in rows)) + abs(
+                unc_val - prev_unc
+            ) * len(unc_nd)
+            nd_sum = float(sum(r["psum"] for r in rows)) + unc_val * len(unc_nd)
+            dangling = 1.0 - nd_sum
+            prev_unc = unc_val
+            ranks_cur = nxt
+            result.rounds += 1
+            result.errors.append(err)
+            result.dangling_mass.append(dangling)
+            result.round_ms.append(int((time.monotonic() - t0) * 1000))
+            if err <= threshold:
+                result.converged = True
+                break
+
+        # restore pass: dangling vertices from converged neighbor ranks
+        # (in-place on the current buffer: srcs are non-dangling, so the
+        # values the gather reads are never the ones being written)
+        drv.mapInPandas(
+            make_round(
+                rank_paths[ranks_cur], rank_paths[ranks_cur], dangling, True
+            ),
+            schema=schema,
+        ).collect()
+        a = (1 - damping) * inv_n
+        dd = damping * dangling * inv_n
+        unc_dang = np.flatnonzero(~nd & ~covered)
+        if len(unc_dang):
+            maps[ranks_cur][unc_dang] = (a + damping * 0.0) + dd
+
+        final = np.array(maps[ranks_cur])  # copy out of tmpfs before rmtree
+        out = pd.DataFrame({"id": np.arange(n, dtype=np.int64), "rank": final})
+        result.ranks = spark.createDataFrame(out)
+        return result
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# broadcast exchange (any master): sc.broadcast ranks, driver assembly
+# ---------------------------------------------------------------------------
+
+def _pagerank_csr_broadcast(
     spark: SparkSession,
     edges: DataFrame,
     num_vertices: int,

@@ -1,0 +1,106 @@
+"""Vectorized draw-parity generator must reproduce the pure-Python
+reference replica (datagen.synthetic_edges) EXACTLY — same edges in the
+same draw order — across graph shapes that force every rare code path:
+HashSet duplicate re-attempts, self-loop redraw loops (including the
+cross-batch window growth they cause), nextInt rejection skips, and the
+cross-slave locality branch."""
+
+import numpy as np
+import pytest
+
+from dxa_pagerank_spark.datagen import synthetic_edges
+from dxa_pagerank_spark.datagen_parity import (
+    indegree_stream,
+    parity_synthetic_edges,
+    raw_states,
+    synthetic_edges_distributed,
+)
+from dxa_pagerank_spark.javarandom import JavaRandom
+
+
+def test_raw_states_bit_exact():
+    r = JavaRandom(123456789)
+    ref = []
+    for _ in range(10_000):
+        r._next(31)
+        ref.append(r._seed)
+    assert (raw_states(123456789, 10_000) == np.array(ref, dtype=np.uint64)).all()
+
+
+def test_indegree_stream_matches_scalar():
+    import math
+
+    n, mean, seed = 5_000, 6, 21
+    rng = JavaRandom(seed + 1)
+    inv = math.pow(mean, -1)
+    ref = []
+    for _ in range(n):
+        u = rng.next_double()
+        ref.append(min(int(math.log(1 - u) / -inv), n - 1))
+    assert (indegree_stream(n, mean, seed) == np.array(ref)).all()
+
+
+@pytest.mark.parametrize(
+    "n,loc,mean,seed,S",
+    [
+        (40, 0.5, 15, 7, 1),      # dense dups + self-loops, single slave
+        (40, 0.5, 15, 7, 2),      # + cross-slave branch
+        (64, 0.8, 20, 21, 2),     # coupon-collector regime (dup storms)
+        (1000, 0.6, 6, 21, 1),    # the README example law at S=1
+        (1000, 0.8, 6, 42, 2),    # the published run's law, small
+        (1000, 0.3, 6, 99, 4),    # low locality, 4 slaves
+        (997, 0.6, 6, 5, 1),      # odd n (nextInt rejections possible)
+        (30, 0.2, 25, 11, 3),     # tiny + extreme density
+    ],
+)
+def test_parity_vs_pure_python(n, loc, mean, seed, S):
+    s1, d1 = synthetic_edges(n, loc, mean, seed, n_slaves=S)
+    s2, d2 = parity_synthetic_edges(n, loc, mean, seed, n_slaves=S)
+    assert len(s1) == len(s2)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(d1, d2)
+
+
+def test_parity_unequal_counts_falls_back():
+    # n % S != 0 -> exact fallback to the pure replica
+    s1, d1 = synthetic_edges(101, 0.7, 5, 13, n_slaves=2)
+    s2, d2 = parity_synthetic_edges(101, 0.7, 5, 13, n_slaves=2)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(d1, d2)
+
+
+def test_only_slave_partitions_the_edge_set():
+    n, S = 1000, 2
+    s_all, d_all = parity_synthetic_edges(n, 0.8, 6, 42, n_slaves=S)
+    parts = [
+        parity_synthetic_edges(n, 0.8, 6, 42, n_slaves=S, only_slave=i)
+        for i in range(S)
+    ]
+    c = n // S
+    for i, (s_i, d_i) in enumerate(parts):
+        assert ((d_i >= i * c) & (d_i < (i + 1) * c)).all()
+    assert sum(len(p[0]) for p in parts) == len(s_all)
+    # concatenating the slave blocks in slave order != draw order, so
+    # compare as multisets of (src, dst) pairs
+    got = np.concatenate([p[0] * n + p[1] for p in parts])
+    want = s_all * n + d_all
+    np.testing.assert_array_equal(np.sort(got), np.sort(want))
+
+
+def test_parity_medium_scale():
+    """1e5-vertex parity vs the pure replica (VERDICT r01 item 6)."""
+    n = 100_000
+    s1, d1 = synthetic_edges(n, 0.8, 6, 42, n_slaves=2)
+    s2, d2 = parity_synthetic_edges(n, 0.8, 6, 42, n_slaves=2)
+    np.testing.assert_array_equal(s1, s2)
+    np.testing.assert_array_equal(d1, d2)
+
+
+def test_distributed_generator_matches(spark):
+    n, S = 2000, 2
+    s1, d1 = parity_synthetic_edges(n, 0.8, 6, 42, n_slaves=S)
+    df = synthetic_edges_distributed(spark, n, 0.8, 6, 42, n_slaves=S)
+    pdf = df.toPandas()
+    got = np.sort(pdf["src"].to_numpy() * n + pdf["dst"].to_numpy())
+    want = np.sort(s1 * n + d1)
+    np.testing.assert_array_equal(got, want)

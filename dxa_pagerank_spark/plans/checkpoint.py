@@ -9,53 +9,76 @@ MetaChunk.java:11-21 — extended with lineage fields) keyed by
 and the loop continues from there; tests assert byte-equal trajectories
 (FIXTURES.md F6).
 
-Storage: Iceberg when the catalog jars are on the classpath, else plain
-partitioned Parquet under a checkpoint root — same layout
-(``ranks_ckpt/run_id=../iteration=..``, ``metrics/``), so the engine is
-Iceberg-ready without making local tests depend on jars
-(SURVEY.md §7 "hard parts" item 5).
+Storage goes through plans.tableio — real Iceberg tables when the
+runtime jars are present, identical-layout partitioned Parquet
+otherwise — as TWO tables:
+
+  * ``ranks_ckpt`` — rank snapshots partitioned by (run_id, iteration);
+    re-saving an iteration replaces only its partition (dynamic
+    overwrite / Iceberg overwritePartitions), never sibling runs.
+  * ``metrics``    — append-only per-checkpoint rows. The metrics append
+    happens LAST and is the commit point: a torn rank write without its
+    metrics row is invisible to ``latest()``, which is what makes
+    kill-mid-write resume safe.
 """
 
 from __future__ import annotations
 
-import json
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
+from .tableio import IcebergTableIO, ParquetTableIO, iceberg_available, make_tableio
 
-def iceberg_available(spark: SparkSession) -> bool:
-    """True when an Iceberg catalog is usable in this session."""
-    try:
-        jvm_class = "org.apache.iceberg.spark.SparkCatalog"
-        spark._jvm.java.lang.Class.forName(jvm_class)  # noqa: SLF001
-        return True
-    except Exception:
-        return False
+__all__ = ["CheckpointManager", "iceberg_available"]
+
+# the durable metrics schema: schemas.METRICS plus the full trajectory
+# arrays needed to restore PageRankResult.errors/dangling_mass on resume
+_METRICS_FULL = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("iteration", T.IntegerType(), False),
+        T.StructField("l1_err", T.DoubleType(), True),
+        T.StructField("pr_sum", T.DoubleType(), True),
+        T.StructField("dangling_mass", T.DoubleType(), True),
+        T.StructField("wall_ms", T.LongType(), True),
+        T.StructField("n_partitions", T.IntegerType(), True),
+        T.StructField("snapshot_ref", T.StringType(), True),
+        T.StructField("errors", T.ArrayType(T.DoubleType()), True),
+        T.StructField("dangling_masses", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+_RANKS_TABLE = "ranks_ckpt"
+_METRICS_TABLE = "metrics"
+_PART_COLS = ("run_id", "iteration")
 
 
 class CheckpointManager:
-    """Parquet-layout checkpoint store (Iceberg-compatible layout).
+    """Table-backed checkpoint store (Iceberg or parquet, plans.tableio).
 
-    save():   write ranks snapshot + metrics row for an iteration.
-    latest(): (ranks_df, meta) of the newest complete iteration, or None.
+    save():   write ranks snapshot partition + append one metrics row.
+    latest(): (ranks_df, meta) of the newest committed iteration, or None.
     """
 
-    def __init__(self, root: str, run_id: str | None = None) -> None:
+    def __init__(
+        self,
+        root: str,
+        run_id: str | None = None,
+        io: ParquetTableIO | IcebergTableIO | None = None,
+        prefer: str = "auto",
+    ) -> None:
         self.root = root
         self.run_id = run_id or uuid.uuid4().hex[:12]
-        os.makedirs(self._dir(), exist_ok=True)
+        self._io = io
+        self._prefer = prefer
 
-    def _dir(self) -> str:
-        return os.path.join(self.root, self.run_id)
-
-    def _ranks_path(self, iteration: int) -> str:
-        return os.path.join(self._dir(), f"ranks_ckpt/iteration={iteration}")
-
-    def _meta_path(self) -> str:
-        return os.path.join(self._dir(), "metrics.json")
+    def _backend(self, spark: SparkSession):
+        if self._io is None:
+            self._io = make_tableio(spark, self.root, self._prefer)
+        return self._io
 
     def save(
         self,
@@ -69,52 +92,67 @@ class CheckpointManager:
         errors: list[float] | None = None,
         dangling_masses: list[float] | None = None,
     ) -> None:
-        path = self._ranks_path(iteration)
-        ranks.write.mode("overwrite").parquet(path)
-        # metrics written last = commit point; a torn rank write without
-        # its metrics row is invisible to latest().
-        history: list[dict] = []
-        if os.path.exists(self._meta_path()):
-            with open(self._meta_path()) as f:
-                history = json.load(f)
-        history = [m for m in history if m["iteration"] < iteration]
-        history.append(
-            {
-                "run_id": self.run_id,
-                "iteration": iteration,
-                "l1_err": l1_err,
-                "pr_sum": pr_sum,
-                "dangling_mass": dangling_mass,
-                "wall_ms": wall_ms,
-                "n_partitions": n_partitions,
-                "snapshot_ref": path,
-                "errors": errors or [],
-                "dangling_masses": dangling_masses or [],
-            }
+        spark = ranks.sparkSession
+        io = self._backend(spark)
+        snap = ranks.select(
+            F.col("id").cast("long").alias("id"),
+            F.col("rank").cast("double").alias("rank"),
+        ).withColumns(
+            {"run_id": F.lit(self.run_id), "iteration": F.lit(iteration)}
         )
-        tmp = self._meta_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(history, f)
-        os.replace(tmp, self._meta_path())
+        io.overwrite_partitions(snap, _RANKS_TABLE, _PART_COLS)
+        row = {
+            "run_id": self.run_id,
+            "iteration": int(iteration),
+            "l1_err": float(l1_err),
+            "pr_sum": float(pr_sum),
+            "dangling_mass": float(dangling_mass),
+            "wall_ms": int(wall_ms),
+            "n_partitions": int(n_partitions),
+            "snapshot_ref": (
+                f"{io.kind}:{_RANKS_TABLE}/run_id={self.run_id}"
+                f"/iteration={iteration}"
+            ),
+            "errors": [float(x) for x in (errors or [])],
+            "dangling_masses": [float(x) for x in (dangling_masses or [])],
+        }
+        mdf = spark.createDataFrame([row], schema=_METRICS_FULL)
+        io.append(mdf, _METRICS_TABLE)  # commit point — always last
+
+    def _metrics_rows(self, spark: SparkSession):
+        io = self._backend(spark)
+        if not io.exists(_METRICS_TABLE):
+            return None
+        return (
+            io.read(spark, _METRICS_TABLE)
+            .filter(F.col("run_id") == self.run_id)
+            .dropDuplicates(["iteration"])
+        )
 
     def latest(self, spark: SparkSession):
-        if not os.path.exists(self._meta_path()):
+        m = self._metrics_rows(spark)
+        if m is None:
             return None
-        with open(self._meta_path()) as f:
-            history = json.load(f)
-        if not history:
+        top = m.orderBy(F.col("iteration").desc()).limit(1).collect()
+        if not top:
             return None
-        meta = max(history, key=lambda m: m["iteration"])
-        ranks = spark.read.parquet(meta["snapshot_ref"])
+        meta = top[0].asDict()
+        io = self._backend(spark)
+        ranks = (
+            io.read(spark, _RANKS_TABLE)
+            .filter(
+                (F.col("run_id") == self.run_id)
+                & (F.col("iteration") == meta["iteration"])
+            )
+            .select("id", "rank")
+        )
         return ranks, meta
 
     def metrics_df(self, spark: SparkSession) -> DataFrame:
         """The metrics history as a DataFrame (schemas.METRICS columns)."""
         from ..schemas import METRICS
 
-        with open(self._meta_path()) as f:
-            history = json.load(f)
-        rows = [
-            {k.name: m.get(k.name) for k in METRICS.fields} for m in history
-        ]
-        return spark.createDataFrame(rows, schema=METRICS)
+        m = self._metrics_rows(spark)
+        if m is None:
+            return spark.createDataFrame([], schema=METRICS)
+        return m.select(*[f.name for f in METRICS.fields])

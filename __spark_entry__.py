@@ -484,6 +484,45 @@ def q_embedding_near_dup(spark, sf_dir):
     return embedding_near_dup_pairs(emb, threshold=0.9, dim=64)
 
 
+def q_hits_5rounds(spark, sf_dir):
+    """Kleinberg HITS, 5 L1-normalized rounds (operators/hits.py);
+    unrolled DuckDB oracle."""
+    from dxa_pagerank_spark.operators.hits import hits
+
+    return hits(spark, _edges(spark, sf_dir), rounds=5).select(
+        "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+
+
+def q_k_core_3(spark, sf_dir):
+    """3-core of the undirected simple graph (operators/kcore.py). The
+    engine peels to a fixpoint; the oracle unrolls peel rounds with
+    slack (idempotent once converged)."""
+    from dxa_pagerank_spark.operators.kcore import k_core
+
+    return k_core(spark, _edges(spark, sf_dir), k=3)
+
+
+def q_ppr_5rounds(spark, sf_dir):
+    """Personalized PageRank, 5 rounds, teleport to the 3 highest-out-
+    degree vertices (ties by min id) — seeds derived by the same rule
+    in the SQL oracle."""
+    from dxa_pagerank_spark.operators.pagerank import out_degrees
+    from dxa_pagerank_spark.operators.ppr import personalized_pagerank
+
+    e = _edges(spark, sf_dir)
+    seeds = [
+        r["id"]
+        for r in out_degrees(e)
+        .orderBy(F.desc("out_deg"), F.asc("id"))
+        .limit(3)
+        .collect()
+    ]
+    return personalized_pagerank(spark, e, seeds, rounds=5).select(
+        "id", F.round("rank", 6).alias("rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "out_degrees": q_out_degrees,
@@ -499,6 +538,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "clustering_coeff": q_clustering_coeff,
         "graph_summary": q_graph_summary,
+        "hits_5rounds": q_hits_5rounds,
+        "k_core_3": q_k_core_3,
+        "ppr_5rounds": q_ppr_5rounds,
         "tpch_q1ish": q_tpch_q1ish,
         "supplier_revenue": q_supplier_revenue,
         "events_window_agg": q_events_window_agg,
@@ -571,6 +613,94 @@ def _pagerank_rounds_sql(k: int) -> str:
 
 
 _PAGERANK_PRELUDE = _pagerank_rounds_sql(2)
+
+
+def _hits_rounds_sql(k: int) -> str:
+    """Unrolled k-round HITS (operators/hits.py semantics: L1-normalize
+    after each half-step, edge multiplicity counts). Defines hs{k}
+    (id, hub, auth)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGES_SQL})",
+        "verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges)",
+        "nv AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM verts)",
+        "hs0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nv) AS hub,"
+        " 1.0/(SELECT n FROM nv) AS auth FROM verts)",
+    ]
+    for i in range(1, k + 1):
+        parts += [
+            f"ar{i} AS MATERIALIZED (SELECT e.dst AS id, sum(h.hub) AS raw"
+            f" FROM edges e JOIN hs{i - 1} h ON e.src = h.id GROUP BY e.dst)",
+            f"an{i} AS MATERIALIZED (SELECT coalesce(nullif(sum(raw),0),1.0) AS t FROM ar{i})",
+            f"a{i} AS MATERIALIZED (SELECT v.id,"
+            f" coalesce(ar{i}.raw,0)/(SELECT t FROM an{i}) AS auth"
+            f" FROM verts v LEFT JOIN ar{i} ON v.id = ar{i}.id)",
+            f"hr{i} AS MATERIALIZED (SELECT e.src AS id, sum(a.auth) AS raw"
+            f" FROM edges e JOIN a{i} a ON e.dst = a.id GROUP BY e.src)",
+            f"hn{i} AS MATERIALIZED (SELECT coalesce(nullif(sum(raw),0),1.0) AS t FROM hr{i})",
+            f"hs{i} AS MATERIALIZED (SELECT a{i}.id,"
+            f" coalesce(hr{i}.raw,0)/(SELECT t FROM hn{i}) AS hub, a{i}.auth"
+            f" FROM a{i} LEFT JOIN hr{i} ON a{i}.id = hr{i}.id)",
+        ]
+    return ",\n".join(parts) + "\n"
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peeling (operators/kcore.py semantics:
+    symmetrized simple graph). The engine peels to a fixpoint; extra
+    unrolled rounds are idempotent, so `rounds` only needs to exceed
+    the peeling depth. Defines `core(id, degree)`."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGES_SQL})",
+        "sym AS MATERIALIZED (SELECT DISTINCT u, v FROM ("
+        "SELECT src AS u, dst AS v FROM edges "
+        "UNION ALL SELECT dst, src FROM edges) t WHERE u <> v)",
+        f"al0 AS MATERIALIZED (SELECT u AS id FROM sym GROUP BY u"
+        f" HAVING count(*) >= {k})",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"al{i} AS MATERIALIZED (SELECT s.u AS id FROM sym s"
+            f" WHERE s.u IN (SELECT id FROM al{i - 1})"
+            f" AND s.v IN (SELECT id FROM al{i - 1})"
+            f" GROUP BY s.u HAVING count(*) >= {k})"
+        )
+    parts.append(
+        f"core AS (SELECT s.u AS id, count(*) AS degree FROM sym s"
+        f" WHERE s.u IN (SELECT id FROM al{rounds})"
+        f" AND s.v IN (SELECT id FROM al{rounds}) GROUP BY s.u)"
+    )
+    return ",\n".join(parts) + "\n"
+
+
+def _ppr_rounds_sql(k: int) -> str:
+    """Unrolled k-round personalized PageRank (operators/ppr.py
+    semantics: teleport + dangling mass to the seed set = top-3
+    out-degree, ties by min id). Defines p{k}(id, rank)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGES_SQL})",
+        "verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges)",
+        "deg AS MATERIALIZED (SELECT src AS id, count(*)::DOUBLE AS out_deg FROM edges GROUP BY src)",
+        "ew AS MATERIALIZED (SELECT e.src, e.dst, 1.0/d.out_deg AS w"
+        " FROM edges e JOIN deg d ON e.src = d.id)",
+        "seeds AS MATERIALIZED (SELECT src AS id FROM edges GROUP BY src"
+        " ORDER BY count(*) DESC, src ASC LIMIT 3)",
+        "sv AS MATERIALIZED (SELECT v.id,"
+        " CASE WHEN v.id IN (SELECT id FROM seeds) THEN 1.0/3 ELSE 0.0 END AS s,"
+        " (d.id IS NULL) AS dang FROM verts v LEFT JOIN deg d ON v.id = d.id)",
+        "p0 AS MATERIALIZED (SELECT id, s AS rank FROM sv)",
+    ]
+    for i in range(1, k + 1):
+        parts += [
+            f"m{i} AS MATERIALIZED (SELECT coalesce(sum(p.rank),0) AS m"
+            f" FROM p{i - 1} p JOIN sv ON p.id = sv.id WHERE sv.dang)",
+            f"c{i} AS MATERIALIZED (SELECT ew.dst AS id, sum(p.rank*ew.w) AS contrib"
+            f" FROM ew JOIN p{i - 1} p ON ew.src = p.id GROUP BY ew.dst)",
+            f"p{i} AS MATERIALIZED (SELECT sv.id,"
+            f" (1.0-0.85)*sv.s + 0.85*(coalesce(c{i}.contrib,0)"
+            f" + (SELECT m FROM m{i})*sv.s) AS rank"
+            f" FROM sv LEFT JOIN c{i} ON sv.id = c{i}.id)",
+        ]
+    return ",\n".join(parts) + "\n"
 
 
 def _lpa_rounds_sql(k: int) -> str:
@@ -807,6 +937,13 @@ def oracle_sql() -> dict[str, str]:
         # far inside the 6-dp rounding — verified exact-equal at sf0.01.
         "pagerank_converged": _pagerank_rounds_sql(60)
         + "SELECT id, round(rank, 6) AS rank FROM final",
+        "hits_5rounds": _hits_rounds_sql(5)
+        + "SELECT id, round(auth, 6) AS auth, round(hub, 6) AS hub FROM hs5",
+        # 24 unrolled peels >> observed peeling depth at sf0.01 (4); the
+        # peel map is idempotent at the fixpoint, so slack is harmless
+        "k_core_3": _kcore_sql(3, 24) + "SELECT id, degree FROM core",
+        "ppr_5rounds": _ppr_rounds_sql(5)
+        + "SELECT id, round(rank, 6) AS rank FROM p5",
         "top20_pagerank": _PAGERANK_PRELUDE
         + """SELECT id, round(rank, 6) AS rank FROM final
              ORDER BY round(rank, 6) DESC, id LIMIT 20""",

@@ -1,0 +1,91 @@
+"""HITS (hubs & authorities) over the directed edge table.
+
+Beyond the reference's single PageRank analytic (north_rule scope is
+"link-graph analytics engine"): the classic Kleinberg mutual-
+reinforcement iteration, L1-normalized each half-step so trajectories
+are scale-free and SQL-checkable:
+
+    auth_i(v) = sum over in-edges (u,v) of hub_{i-1}(u), then /= sum
+    hub_i(u)  = sum over out-edges (u,v) of auth_i(v), then /= sum
+
+Edge multiplicity counts (consistent with the engine's file-ingest
+semantics, ReadLumpInEdgeListTask.java:69-71).
+
+Physical plan, per round: TWO rank-table shuffles (auth gather by dst,
+hub gather by src) against the once-partitioned persisted edge table —
+the 100-TB side never moves; map-side partial aggregation keeps each
+exchange at ~|V| rows. One action per round (the normalization sums)
+is the BSP barrier. Lineage truncated per round via localCheckpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def hits(
+    spark: SparkSession,
+    edges: DataFrame,
+    rounds: int = 5,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """-> (id, auth, hub) after `rounds` L1-normalized iterations."""
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    e = (
+        edges.select("src", "dst")
+        .repartition(P, "src")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition(P, "id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = verts.count()
+    state = verts.select(
+        "id", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
+    ).localCheckpoint(eager=True)
+
+    try:
+        for _ in range(rounds):
+            # auth step: pull hub mass along in-edges
+            a = (
+                e.join(state.select(F.col("id").alias("src"), "hub"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("hub").alias("a_raw"))
+            )
+            st = verts.join(a, "id", "left").select(
+                "id", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw")
+            )
+            tot_a = st.agg(F.sum("a_raw")).collect()[0][0] or 1.0
+            st = st.select("id", (F.col("a_raw") / tot_a).alias("auth"))
+            # hub step: pull auth mass along out-edges
+            h = (
+                e.join(st.select(F.col("id").alias("dst"), "auth"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("auth").alias("h_raw"))
+            )
+            st2 = (
+                verts.join(h, "id", "left")
+                .join(st, "id")
+                .select(
+                    "id", "auth", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw")
+                )
+            )
+            tot_h = st2.agg(F.sum("h_raw")).collect()[0][0] or 1.0
+            old = state
+            state = st2.select(
+                "id", (F.col("h_raw") / tot_h).alias("hub"), "auth"
+            ).localCheckpoint(eager=True)
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        return state.select("id", "auth", "hub")
+    finally:
+        e.unpersist()
+        verts.unpersist()

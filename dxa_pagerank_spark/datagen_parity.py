@@ -145,10 +145,14 @@ def _int_decode(i31: np.ndarray, bound: int, T: int):
         )
         return val, None  # skip is identity
     v = i31 % bound
-    rej = (i31.astype(np.int64) - v + (bound - 1)) >= (1 << 31)
+    rej = (i31 - v + (bound - 1)) >= (1 << 31)
     idx = np.arange(T, dtype=np.int64)
     idx[rej] = T  # sentinel: no acceptable draw here
-    skip = np.minimum.accumulate(idx[::-1])[::-1].astype(np.int64)
+    # reverse running-min; the [::-1] view is copied first so the
+    # accumulate runs on contiguous memory (~8x faster than strided)
+    rev = np.ascontiguousarray(idx[::-1])
+    np.minimum.accumulate(rev, out=rev)
+    skip = np.ascontiguousarray(rev[::-1]).astype(np.int32)  # T < 2^31
     return v.astype(np.int32), skip
 
 
@@ -173,9 +177,9 @@ def _decode_endpoint_stream(
         loc_ok = d <= loc
         del d
 
-    val_c, skip_c = _int_decode(i31.astype(np.int64), c, T)
+    val_c, skip_c = _int_decode(i31, c, T)
     if S > 1:
-        val_s, skip_s = _int_decode(i31.astype(np.int64), S - 1, T)
+        val_s, skip_s = _int_decode(i31, S - 1, T)
     else:
         val_s, skip_s = None, None
 
@@ -190,9 +194,9 @@ def _decode_endpoint_stream(
         lid_pos = np.where(loc_ok[: T - 2], lid_pos_local, lid_pos_other)
     else:
         lid_pos = lid_pos_local
-    nxt = np.minimum(lid_pos + 1, T).astype(np.int64)
+    nxt = np.minimum(lid_pos + 1, T).astype(np.int32)  # T < 2^31
     # pad with sentinel T -> T so chases stop at stream end
-    nxt = np.concatenate([nxt, np.full(3, T, dtype=np.int64)])
+    nxt = np.concatenate([nxt, np.full(3, T, dtype=np.int32)])
     return {
         "T": T,
         "i31": i31,
@@ -206,20 +210,44 @@ def _decode_endpoint_stream(
 
 
 _CHASE_STRIDE = 32
+_STRIDE_CACHE: dict[int, np.ndarray] = {}
 
 
-def _chase(nxt: np.ndarray, start: int, max_attempts: int, T: int) -> np.ndarray:
+def _stride_table(nxt: np.ndarray) -> np.ndarray:
+    """nxt self-composed log2(_CHASE_STRIDE) times (one 32-attempt jump
+    per lookup), cached per nxt array so repeated chases are O(heads)."""
+    key = id(nxt)
+    if key not in _STRIDE_CACHE or _STRIDE_CACHE.get("_src") is not nxt:
+        J = nxt
+        for _ in range(5):
+            J = J[J]  # nxt is padded so index T maps to T
+        _STRIDE_CACHE.clear()
+        _STRIDE_CACHE[key] = J
+        _STRIDE_CACHE["_src"] = nxt
+    return _STRIDE_CACHE[key]
+
+
+def _chase(
+    nxt: np.ndarray,
+    start: int,
+    max_attempts: int,
+    T: int,
+    required: int | None = None,
+) -> np.ndarray:
     """Attempt-start positions from `start`, following nxt, up to
     max_attempts or stream end. Python walk is over 32-attempt strides
     (nxt self-composed 5 times); intra-stride positions are recovered
-    with 31 vectorized gathers."""
+    with 31 vectorized gathers. Raises _NeedMoreStream only when fewer
+    than `required` (default: max_attempts) positions fit the stream."""
+    if required is None:
+        required = max_attempts
     if max_attempts <= 0:
         return np.empty(0, dtype=np.int64)
     if start >= T:
-        raise _NeedMoreStream
-    J = nxt
-    for _ in range(5):
-        J = J[J]  # nxt is padded so index T maps to T
+        if required > 0:
+            raise _NeedMoreStream
+        return np.empty(0, dtype=np.int64)
+    J = _stride_table(nxt)
     heads = []
     p = start
     n_heads = (max_attempts + _CHASE_STRIDE - 1) // _CHASE_STRIDE
@@ -235,7 +263,7 @@ def _chase(nxt: np.ndarray, start: int, max_attempts: int, T: int) -> np.ndarray
         cols[:, k] = nxt[cols[:, k - 1]]
     out = cols.reshape(-1)
     out = out[out < T][:max_attempts]
-    if len(out) < max_attempts:
+    if len(out) < required:
         raise _NeedMoreStream
     return out
 
@@ -387,7 +415,35 @@ def _assign_and_emit(
     dup_pos: dict[int, int] = {}  # attempt start pos -> vertex charged
     patched: dict[int, tuple[int, int]] = {}  # pos -> (redrawn lid, end)
     scan_v = 0  # vertices below this are fully resolved (exact)
+    indeg = indeg.astype(np.int64)
+
+    # decode cache, aligned with P: recomputed only for re-chased
+    # suffixes (self-loop patches) and extensions, never wholesale
     P = _chase(tab["nxt"], 0, int(indeg.sum()), T)
+    lo, v1, lid, _lp = _attempt_decode(tab, P)
+
+    def decode_seg(P2: np.ndarray):
+        l2, w2, d2, _ = _attempt_decode(tab, P2)
+        for i, pos in enumerate(P2.tolist()):
+            if pos in patched:
+                d2[i] = patched[pos][0]
+        return l2, w2, d2
+
+    def extend_to(M: int) -> None:
+        # extend with slack (and keep any over-chased tail) so the
+        # one-attempt growth of each duplicate event never re-copies
+        # the whole cache
+        nonlocal P, lo, v1, lid
+        while len(P) < M:
+            last = int(P[-1])
+            nol = patched.get(last, (0, int(tab["nxt"][last])))[1]
+            want = (M - len(P)) + 4096
+            P2 = _chase(tab["nxt"], nol, want, T, required=M - len(P))
+            l2, w2, d2 = decode_seg(P2)
+            P = np.concatenate([P, P2])
+            lo = np.concatenate([lo, l2])
+            v1 = np.concatenate([v1, w2])
+            lid = np.concatenate([lid, d2])
 
     for _ in range(n + 2):  # one event VERTEX resolved per iteration
         need = indeg + np.bincount(
@@ -395,33 +451,19 @@ def _assign_and_emit(
             minlength=n,
         )
         M = int(need.sum())
-        if len(P) < M:
-            last = int(P[-1])
-            nxt_of_last = patched.get(last, (0, int(tab["nxt"][last])))[1]
-            P = np.concatenate(
-                [P, _chase(tab["nxt"], nxt_of_last, M - len(P), T)]
-            )
-        Pm = P[:M]
-        lo, v1, lid, lid_pos = _attempt_decode(tab, Pm)
-        if patched:
-            pk = np.fromiter(patched, dtype=np.int64, count=len(patched))
-            for a in np.flatnonzero(np.isin(Pm, pk)):
-                lid[a] = patched[int(Pm[a])][0]
+        extend_to(M)
         bnd = np.cumsum(need)
-        v = np.searchsorted(bnd, np.arange(M, dtype=np.int64), side="right")
-        i_v = v // c
-        local_id = v % c + 1
-        idx_t = np.where(lo, i_v, (i_v + v1 + 1) % S)
 
-        a = _earliest_event(
-            Pm, v, bnd, lo, lid, local_id, idx_t, S, c, scan_v, pd
-        )
+        a = _earliest_event(bnd, lo, v1, lid, S, c, scan_v, M, pd)
         if a is None:
+            v = np.repeat(np.arange(n, dtype=np.int64), need)
+            i_v = v // c
+            idx_t = np.where(lo[:M], i_v, (i_v + v1[:M] + 1) % S)
             acc = ~np.isin(
-                Pm,
+                P[:M],
                 np.fromiter(dup_pos, dtype=np.int64, count=len(dup_pos)),
             ) if dup_pos else np.ones(M, dtype=bool)
-            src = idx_t[acc] * c + (lid[acc] - 1)
+            src = idx_t[acc] * c + (lid[:M][acc] - 1)
             dst = v[acc]
             if only_slave is not None:
                 m = i_v[acc] == only_slave
@@ -429,12 +471,24 @@ def _assign_and_emit(
             return src, dst
         # resolve the whole event vertex by exact scalar replay (attempts
         # per vertex are few), then resume vectorized scanning after it
-        w = int(v[a])
+        w = int(np.searchsorted(bnd, a, side="right"))
         a0w = int(bnd[w - 1]) if w else 0
+        n_patch = len(patched)
         starts, _pend = _resolve_vertex(
-            tab, w, int(Pm[a0w]), int(indeg[w]), S, c, dup_pos, patched
+            tab, w, int(P[a0w]), int(indeg[w]), S, c, dup_pos, patched
         )
-        P = np.concatenate([Pm[:a0w], np.asarray(starts, dtype=np.int64)])
+        if len(patched) > n_patch:
+            # a self-loop redraw shifted the stream: positions (and the
+            # decode cache) after this vertex are stale — truncate and
+            # let extend_to re-chase/re-decode the suffix lazily
+            seg = np.asarray(starts, dtype=np.int64)
+            l2, w2, d2 = decode_seg(seg)
+            P = np.concatenate([P[:a0w], seg])
+            lo = np.concatenate([lo[:a0w], l2])
+            v1 = np.concatenate([v1[:a0w], w2])
+            lid = np.concatenate([lid[:a0w], d2])
+        # duplicates don't move stream positions: P and the decode cache
+        # stay valid, only `need` (recomputed at loop top) changes
         scan_v = w + 1
     raise RuntimeError("parity generator: did not converge")
 
@@ -442,25 +496,33 @@ def _assign_and_emit(
 _SCAN_WINDOW = 1 << 20
 
 
-def _earliest_event(Pm, v, bnd, lo, lid, local_id, idx_t, S, c, scan_v, pd):
+def _earliest_event(bnd, lo, v1, lid, S, c, scan_v, M, pd):
     """First (dup | self-loop) attempt index in vertices >= scan_v,
     scanning in vertex-aligned windows. Vertices below scan_v are fully
     resolved, so decode+assignment are exact up to the returned event —
-    which makes the event itself exactly identified."""
-    M = len(Pm)
+    which makes the event itself exactly identified. The attempt->vertex
+    map is derived per window (searchsorted), never materialized at M."""
     a0 = int(bnd[scan_v - 1]) if scan_v else 0
     while a0 < M:
         hi = min(M, a0 + _SCAN_WINDOW)
         if hi < M:
-            hi = int(bnd[v[hi - 1]])  # extend to the vertex's end
+            # extend to the end of the vertex containing attempt hi-1
+            w_hi = int(np.searchsorted(bnd, hi - 1, side="right"))
+            hi = int(bnd[w_hi])
         s = slice(a0, hi)
+        vs = np.searchsorted(
+            bnd, np.arange(a0, hi, dtype=np.int64), side="right"
+        )
+        i_v = vs // c
+        local_id = vs % c + 1
+        idx_t = np.where(lo[s], i_v, (i_v + v1[s] + 1) % S)
         vk = (
-            v[s] * np.int64(S * (c + 1) + 1)
-            + idx_t[s] * np.int64(c + 1)
+            vs * np.int64(S * (c + 1) + 1)
+            + idx_t * np.int64(c + 1)
             + lid[s]
         )
         dup_w = pd.Series(vk).duplicated().to_numpy()
-        sl_w = lo[s] & (lid[s] == local_id[s])
+        sl_w = lo[s] & (lid[s] == local_id)
         ev = dup_w | sl_w
         if ev.any():
             return a0 + int(np.argmax(ev))

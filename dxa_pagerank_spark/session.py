@@ -54,6 +54,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1000000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", driver_memory or "48g")
+        # iterative jobs launch one tiny barrier job per superstep: don't
+        # let tasks sit in the locality-wait queue, and don't burn driver
+        # cycles redrawing a console progress bar every 200ms
+        .config("spark.locality.wait", "0s")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

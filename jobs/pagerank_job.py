@@ -27,7 +27,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
+def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("vertexCnt", type=int)
     ap.add_argument("damping", type=float)
@@ -39,17 +39,18 @@ def main() -> None:
     ap.add_argument("--out", default=None)
     ap.add_argument("--impl", choices=["dataframe", "csr"], default="dataframe")
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--slaves", type=int, default=1,
+                    help="reference NUM_SLAVES: synthetic graph block "
+                         "placement + generator locality law, file-input "
+                         "round-robin placement, per-slave output files")
     ap.add_argument("--fast-gen", action="store_true",
                     help="NumPy generator (same law, not draw-parity) for large N")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     from pyspark.sql import functions as F
 
-    from dxa_pagerank_spark.datagen import (
-        edges_to_spark,
-        fast_synthetic_edges,
-        synthetic_edges,
-    )
+    from dxa_pagerank_spark.datagen import edges_to_spark, fast_synthetic_edges
+    from dxa_pagerank_spark.datagen_parity import synthetic_edges_distributed
     from dxa_pagerank_spark.operators.pagerank import pagerank
     from dxa_pagerank_spark.operators.pagerank_csr import pagerank_csr
     from dxa_pagerank_spark.session import get_spark
@@ -66,11 +67,14 @@ def main() -> None:
         seed = int(args.source[2])
         if args.fast_gen:
             src, dst = fast_synthetic_edges(args.vertexCnt, mean_indeg, seed)
+            edges = edges_to_spark(spark, src, dst, partitions=args.cores)
         else:
-            src, dst = synthetic_edges(
-                args.vertexCnt, locality, mean_indeg, seed, n_slaves=1
-            )
-        edges = edges_to_spark(spark, src, dst, partitions=args.cores)
+            # draw-parity generator, one task per slave (the reference's
+            # every-peer-replays-the-global-streams model)
+            edges = synthetic_edges_distributed(
+                spark, args.vertexCnt, locality, mean_indeg, seed,
+                n_slaves=args.slaves,
+            ).repartition(args.cores, "src").localCheckpoint(eager=True)
         filename = "SYNTHETIC"
     else:
         filename = args.source[0]
@@ -97,16 +101,28 @@ def main() -> None:
     if args.printPR:
         # "name rank" text lines, 1-based names, plain decimal (never
         # scientific, never locale-grouped — format parity with
-        # BigDecimal.toPlainString, PRInfoTask.java:83-86; VERDICT r01 #6)
+        # BigDecimal.toPlainString, PRInfoTask.java:83-86; VERDICT r01 #6).
+        # One output directory per slave, mirroring the reference's
+        # "$NodeID$.pageRank" per-peer files: file input places vertex
+        # v (1-based) on slave (v-1) % S (ReadLumpInEdgeListTask.java:59),
+        # synthetic uses contiguous blocks (CreateSyntheticGraphSeed
+        # .java:51-53, balanced ceil/floor counts MainPR.java:241-248).
+        ranks_out = res.ranks.select(
+            F.col("id"),
+            F.concat_ws(
+                " ",
+                (F.col("id") + 1).cast("string"),
+                F.format_string("%.12f", F.col("rank")),
+            ).alias("value"),
+        ).withColumn(
+            "slave",
+            _slave_of(F.col("id"), args.vertexCnt, args.slaves, synthetic),
+        )
         (
-            res.ranks.select(
-                F.concat_ws(
-                    " ",
-                    (F.col("id") + 1).cast("string"),
-                    F.format_string("%.12f", F.col("rank")),
-                ).alias("value")
-            )
+            ranks_out.select("slave", "value")
+            .repartition("slave")
             .write.mode("overwrite")
+            .partitionBy("slave")
             .text(os.path.join(out, "pageRank"))
         )
 
@@ -114,7 +130,7 @@ def main() -> None:
         os.path.join(out, "statistics.out"),
         out_dir=out,
         graph_input=filename,
-        num_slaves=args.cores,
+        num_slaves=args.slaves,
         vertex_cnt=args.vertexCnt,
         num_edges=res.num_edges,
         damping=args.damping,
@@ -128,6 +144,28 @@ def main() -> None:
     )
 
     print(f"converged={res.converged} rounds={res.rounds} out={out}")
+
+
+def _slave_of(id_col, n: int, n_slaves: int, synthetic: bool):
+    """Column expr: which slave owns 0-based vertex id. File input is
+    round-robin (ReadLumpInEdgeListTask.java:59, 142-147); synthetic is
+    block placement over balanced ceil/floor counts
+    (CreateSyntheticGraphSeed.java:51-53, MainPR.java:241-248)."""
+    from pyspark.sql import functions as F
+
+    if n_slaves <= 1:
+        return F.lit(0)
+    if not synthetic:
+        return (id_col % n_slaves).cast("int")
+    import math
+
+    mod = n % n_slaves
+    hi = int(math.ceil(n / n_slaves))
+    lo_cnt = int(math.floor(n / n_slaves))
+    split = mod * hi  # first `mod` slaves hold ceil-sized blocks
+    return F.when(id_col < split, (id_col / hi).cast("int")).otherwise(
+        (F.lit(mod) + (id_col - split) / F.lit(max(lo_cnt, 1))).cast("int")
+    )
 
 
 def _jvm_heap_used_mb(spark) -> float:

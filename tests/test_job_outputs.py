@@ -52,6 +52,67 @@ def test_statistics_out_shape(tmp_path):
     assert lines[16] == "2\t0.010000000000\t2.5000s"
 
 
+def test_job_s2_file_input_matches_s1(spark, tmp_path):
+    """S>1 end-to-end (SURVEY §2.3.8): file input is the same graph at
+    any S, so ranks must be identical; only the vertex->slave placement
+    of the output files changes (round-robin,
+    ReadLumpInEdgeListTask.java:59)."""
+    from dxa_pagerank_spark.datagen import FIXTURE_GRAPHS
+    from jobs.pagerank_job import main
+
+    g = tmp_path / "g.txt"
+    g.write_text(FIXTURE_GRAPHS["g7_readme"] + "\n")
+    outs = {}
+    for s in (1, 2):
+        out = tmp_path / f"out_s{s}"
+        main([
+            "7", "0.85", "1e-10", "60", "true", str(g),
+            "--out", str(out), "--cores", "4", "--slaves", str(s),
+        ])
+        lines = []
+        for p in sorted(out.glob("pageRank/**/part-*")):
+            lines += p.read_text().splitlines()
+        outs[s] = dict(ln.split(" ") for ln in lines)
+    assert outs[1] == outs[2]  # identical ranks, byte-for-byte
+    # placement law: slave=k dir holds exactly the names with (v-1)%2==k
+    for k in (0, 1):
+        names = set()
+        for p in (tmp_path / "out_s2/pageRank" / f"slave={k}").glob("part-*"):
+            names |= {ln.split(" ")[0] for ln in p.read_text().splitlines()}
+        assert names == {str(v) for v in range(1, 8) if (v - 1) % 2 == k}
+    stats = (tmp_path / "out_s2/statistics.out").read_text()
+    assert "NUM_SLAVES\t2" in stats
+
+
+def test_job_s2_synthetic_runs_parity_generator(spark, tmp_path):
+    """Synthetic source at S=2 goes through the distributed draw-parity
+    generator and block placement."""
+    from dxa_pagerank_spark.datagen import synthetic_edges
+    from dxa_pagerank_spark.oracle import pagerank_oracle
+    from jobs.pagerank_job import main
+
+    out = tmp_path / "out_synth"
+    main([
+        "100", "0.85", "1e-8", "50", "true", "0.6", "4", "21",
+        "--out", str(out), "--cores", "4", "--slaves", "2",
+    ])
+    src, dst = synthetic_edges(100, 0.6, 4, 21, n_slaves=2)
+    oracle = pagerank_oracle(100, src, dst, 0.85, 1e-8, 50)
+    got = {}
+    for p in sorted(out.glob("pageRank/**/part-*")):
+        for ln in p.read_text().splitlines():
+            name, val = ln.split(" ")
+            got[int(name) - 1] = float(val)
+    assert len(got) == 100
+    for i in range(100):
+        assert abs(got[i] - oracle.ranks[i]) < 1e-9
+    # block placement: slave=0 holds global ids 0..49 (names 1..50)
+    names0 = set()
+    for p in (out / "pageRank/slave=0").glob("part-*"):
+        names0 |= {int(ln.split(" ")[0]) for ln in p.read_text().splitlines()}
+    assert names0 == set(range(1, 51))
+
+
 def test_statistics_out_file_input_omits_synth_lines(tmp_path):
     p = tmp_path / "statistics.out"
     write_statistics(

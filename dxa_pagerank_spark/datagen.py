@@ -111,8 +111,11 @@ def fast_synthetic_edges(
     src = rng.integers(0, n, size=dst.shape[0], dtype=np.int64)
     keep = src != dst
     src, dst = src[keep], dst[keep]
-    pairs = np.unique(np.stack([src, dst], axis=1), axis=0)
-    return pairs[:, 0].copy(), pairs[:, 1].copy()
+    # dedupe on a packed scalar key: one int64 sort instead of
+    # np.unique(..., axis=0)'s structured sort (~10x at 1e8 vertices;
+    # src*n+dst < n^2 <= 1e16 stays inside int64)
+    key = np.unique(src * np.int64(n) + dst)
+    return key // n, key % n
 
 
 # ---------------------------------------------------------------------------

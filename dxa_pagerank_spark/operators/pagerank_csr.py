@@ -13,14 +13,18 @@ accelerator path):
     partition task writes its (dst_ids, segment_starts, srcs) arrays
     to ``/dev/shm`` — after that the static adjacency never crosses
     the JVM→Python boundary again;
-  * each superstep is a P-task job over ``spark.range(P)``: task i
-    memory-maps its CSR block, the shared read-only rank vector of the
-    previous round, and the shared output vector; it computes
+  * the WHOLE iteration is ONE barrier-mode job (the Spark API built
+    for gang-scheduled iterative workloads): task i memory-maps its CSR
+    block and the two alternating shared rank vectors, computes
     ``contrib = reduceat(ranks[src] * invd[src], starts)``, writes its
     (dst-disjoint, so race-free) slice of updated ranks directly into
-    the output map, and returns ONE row of two scalars (partial L1
-    error, partial rank sum) — the driver's per-round work is O(P)
-    scalars plus an O(uncovered) scatter, not O(|V|);
+    the output map, and the per-superstep BSP barrier exchanges two
+    hex-exact scalars (partial L1 error, partial rank sum) through
+    atomically-renamed tmpfs files with sub-ms polling (allGather's
+    runBarrier hard-sleeps 1s per poll — see run_loop) — every task
+    derives the identical global error/dangling mass and convergence
+    decision, and the fixed per-job scheduling cost is paid once, not
+    per superstep;
   * rank vectors live in two alternating memory-mapped files on tmpfs:
     one physical copy in the page cache shared by all workers
     (vs. sc.broadcast: pickle + one deserialized copy PER worker).
@@ -225,117 +229,168 @@ def _pagerank_csr_shm(
             mm.flush()
             maps.append(mm)
 
-        def make_round(in_path, out_path, dangling, restore):
-            # per-element arithmetic identical (left-to-right) to the
-            # broadcast variant and oracle.py:75-77
-            a = (1 - damping) * inv_n
-            dd = damping * dangling * inv_n
-            d = damping
-
-            def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-                pid = int(next(iter(it))["id"].iloc[0])
-                uq_path = blk(pid, "uq")
-                if not os.path.exists(uq_path):
-                    yield pd.DataFrame({"err": [0.0], "psum": [0.0]})
-                    return
-                uq = np.asarray(np.load(uq_path, mmap_mode="r"))
-                starts = np.load(blk(pid, "starts"), mmap_mode="r")
-                srcs = np.load(blk(pid, "src"), mmap_mode="r")
-                iv = np.load(
-                    os.path.join(os.path.dirname(uq_path), "invd.npy"),
-                    mmap_mode="r",
-                )
-                w_path = blk(pid, "w")
-                if os.path.exists(w_path):
-                    w = np.load(w_path, mmap_mode="r")
-                else:
-                    # per-edge 1/out_deg is static: materialize once
-                    # (round 1), sequential reads afterwards
-                    w = iv[srcs]
-                    np.save(w_path, w)
-                ranks_v = np.load(in_path, mmap_mode="r")
-                out = np.lib.format.open_memmap(out_path, mode="r+")
-                vals = ranks_v[srcs] * w
-                contrib = np.add.reduceat(vals, starts)
-                iv_uq = iv[uq]
-                if restore:
-                    sel = iv_uq == 0.0  # dangling dst only
-                    ids = uq[sel]
-                    out[ids] = (a + d * contrib[sel]) + dd
-                    out.flush()
-                    yield pd.DataFrame({"err": [0.0], "psum": [0.0]})
-                    return
-                sel = iv_uq > 0.0  # non-dangling dst
-                ids = uq[sel]
-                new_vals = (a + d * contrib[sel]) + dd
-                old_vals = ranks_v[ids]
-                out[ids] = new_vals
-                out.flush()
-                yield pd.DataFrame(
-                    {
-                        "err": [float(np.abs(new_vals - old_vals).sum())],
-                        "psum": [float(new_vals.sum())],
-                    }
-                )
-
-            return run
-
-        drv = spark.range(0, P, 1, P)
-        schema = "err double, psum double"
-
-        ranks_cur = 0
-        dangling = inv_n  # round-1 quirk (MetaChunk.java:20)
-        prev_unc = inv_n
-        result = PageRankResult(
-            ranks=None, rounds=0, converged=False,
-            num_vertices=n, num_edges=num_edges,
-        )
-
-        for _ in range(max_rounds):
-            t0 = time.monotonic()
-            nxt = 1 - ranks_cur
-            a = (1 - damping) * inv_n
-            dd = damping * dangling * inv_n
-            unc_val = (a + damping * 0.0) + dd
-            if len(unc_nd):
-                maps[nxt][unc_nd] = unc_val
-            rows = drv.mapInPandas(
-                make_round(
-                    rank_paths[ranks_cur], rank_paths[nxt], dangling, False
-                ),
-                schema=schema,
-            ).collect()
-            err = float(sum(r["err"] for r in rows)) + abs(
-                unc_val - prev_unc
-            ) * len(unc_nd)
-            nd_sum = float(sum(r["psum"] for r in rows)) + unc_val * len(unc_nd)
-            dangling = 1.0 - nd_sum
-            prev_unc = unc_val
-            ranks_cur = nxt
-            result.rounds += 1
-            result.errors.append(err)
-            result.dangling_mass.append(dangling)
-            result.round_ms.append(int((time.monotonic() - t0) * 1000))
-            if err <= threshold:
-                result.converged = True
-                break
-
-        # restore pass: dangling vertices from converged neighbor ranks
-        # (in-place on the current buffer: srcs are non-dangling, so the
-        # values the gather reads are never the ones being written)
-        drv.mapInPandas(
-            make_round(
-                rank_paths[ranks_cur], rank_paths[ranks_cur], dangling, True
-            ),
-            schema=schema,
-        ).collect()
-        a = (1 - damping) * inv_n
-        dd = damping * dangling * inv_n
+        # per-task slices of the vertices no kernel covers, so the loop
+        # needs ZERO driver work per round
         unc_dang = np.flatnonzero(~nd & ~covered)
-        if len(unc_dang):
-            maps[ranks_cur][unc_dang] = (a + damping * 0.0) + dd
+        for pid, sl in enumerate(np.array_split(unc_nd, P)):
+            np.save(blk(pid, "uncnd"), sl)
+        for pid, sl in enumerate(np.array_split(unc_dang, P)):
+            np.save(blk(pid, "uncdg"), sl)
 
-        final = np.array(maps[ranks_cur])  # copy out of tmpfs before rmtree
+        wd, d, thr, mr = workdir, damping, threshold, max_rounds
+        os.makedirs(os.path.join(wd, "sync"), exist_ok=True)
+
+        def run_loop(it):
+            """The ENTIRE iteration as one barrier-mode gang (Spark's
+            API for co-scheduled iterative workloads): one job for all
+            rounds, so the per-job scheduling floor is paid once, not
+            per superstep. The per-superstep BSP barrier exchanges two
+            hex-exact scalars (partial L1 error, partial rank sum)
+            through atomically-renamed tmpfs files with sub-ms polling —
+            NOT BarrierTaskContext.allGather, whose runBarrier polls its
+            RPC future with a hardcoded Thread.sleep(1000) (verified in
+            the spark-core bytecode), i.e. >=1s per superstep. Barrier
+            scheduling still guarantees all P tasks are co-resident, so
+            the file sync cannot deadlock; all tasks reduce the same
+            pid-ordered scalars, so every task's float state and
+            convergence decision is bitwise-identical."""
+            from pyspark import BarrierTaskContext
+
+            ctx = BarrierTaskContext.get()
+            pid = ctx.partitionId()
+
+            def sync_scalars(r, err_p, sum_p, timeout=600.0):
+                mine = os.path.join(wd, "sync", f"r{r}_p{pid}")
+                tmp = mine + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(f"{err_p.hex()} {sum_p.hex()}")
+                os.rename(tmp, mine)  # atomic publish
+                vals = {}
+                deadline = time.monotonic() + timeout
+                while len(vals) < P:
+                    for q in range(P):
+                        if q in vals:
+                            continue
+                        path = os.path.join(wd, "sync", f"r{r}_p{q}")
+                        try:
+                            with open(path) as f:
+                                a, b = f.read().split()
+                            vals[q] = (float.fromhex(a), float.fromhex(b))
+                        except (FileNotFoundError, ValueError):
+                            continue
+                    if len(vals) < P:
+                        if time.monotonic() > deadline:
+                            raise RuntimeError(
+                                f"superstep sync timed out at round {r}"
+                            )
+                        time.sleep(0.0005)
+                err = 0.0
+                nd_sum = 0.0
+                for q in range(P):  # fixed reduction order
+                    err += vals[q][0]
+                    nd_sum += vals[q][1]
+                return err, nd_sum
+
+            def p(what):
+                return os.path.join(wd, f"blk_{pid}_{what}.npy")
+
+            have = os.path.exists(p("uq"))
+            if have:
+                uq = np.asarray(np.load(p("uq"), mmap_mode="r"))
+                starts = np.load(p("starts"), mmap_mode="r")
+                srcs = np.load(p("src"), mmap_mode="r")
+                iv = np.load(os.path.join(wd, "invd.npy"), mmap_mode="r")
+                # per-edge 1/out_deg is static: materialize once,
+                # sequential reads every round afterwards
+                w = iv[srcs]
+                iv_uq = iv[uq]
+                sel = iv_uq > 0.0
+                ids = uq[sel]
+            unc = np.load(p("uncnd")) if os.path.exists(p("uncnd")) else np.empty(0, np.int64)
+            udg = np.load(p("uncdg")) if os.path.exists(p("uncdg")) else np.empty(0, np.int64)
+            rp = [os.path.join(wd, "ranks_0.npy"), os.path.join(wd, "ranks_1.npy")]
+
+            cur = 0
+            dangling = inv_n  # round-1 quirk (MetaChunk.java:20)
+            prev_unc = inv_n
+            errors, masses, round_ms = [], [], []
+            converged = False
+            for rnd in range(mr):
+                t0 = time.monotonic()
+                # arithmetic identical (left-to-right) to the broadcast
+                # variant and oracle.py:75-77
+                a = (1 - d) * inv_n
+                dd = d * dangling * inv_n
+                unc_val = (a + d * 0.0) + dd
+                ranks_v = np.load(rp[cur], mmap_mode="r")
+                out = np.lib.format.open_memmap(rp[1 - cur], mode="r+")
+                if len(unc):
+                    out[unc] = unc_val
+                if have:
+                    contrib = np.add.reduceat(ranks_v[srcs] * w, starts)
+                    new_vals = (a + d * contrib[sel]) + dd
+                    old_vals = ranks_v[ids]
+                    out[ids] = new_vals
+                    err_p = float(np.abs(new_vals - old_vals).sum())
+                    sum_p = float(new_vals.sum())
+                else:
+                    err_p, sum_p = 0.0, 0.0
+                err_p += abs(unc_val - prev_unc) * len(unc)
+                sum_p += unc_val * len(unc)
+                out.flush()  # publish rank writes before the barrier
+                err, nd_sum = sync_scalars(rnd, float(err_p), float(sum_p))
+                dangling = 1.0 - nd_sum
+                prev_unc = unc_val
+                cur = 1 - cur
+                errors.append(err)
+                masses.append(dangling)
+                round_ms.append(int((time.monotonic() - t0) * 1000))
+                if err <= thr:
+                    converged = True
+                    break
+
+            # restore pass: dangling vertices from converged neighbor
+            # ranks, in place on the current buffer (srcs are
+            # non-dangling, so no task reads what any task writes)
+            a = (1 - d) * inv_n
+            dd = d * dangling * inv_n
+            ranks_v = np.load(rp[cur], mmap_mode="r")
+            out = np.lib.format.open_memmap(rp[cur], mode="r+")
+            if have:
+                contrib = np.add.reduceat(ranks_v[srcs] * w, starts)
+                seld = iv_uq == 0.0
+                out[uq[seld]] = (a + d * contrib[seld]) + dd
+            if len(udg):
+                out[udg] = (a + d * 0.0) + dd
+            out.flush()
+            yield (pid, cur, converged, errors, masses, round_ms)
+
+        # barrier mode gang-schedules all P tasks at once: P must not
+        # exceed the executor slots or the job cannot be scheduled
+        if P > sc.defaultParallelism:
+            raise ValueError(
+                f"shm exchange runs as a barrier gang: num_partitions={P} "
+                f"exceeds the {sc.defaultParallelism} available slots"
+            )
+        rows = (
+            sc.parallelize(range(P), P).barrier().mapPartitions(run_loop)
+        ).collect()
+        first = min(rows, key=lambda r: r[0])
+        _, cur, converged, errors, masses, round_ms = first
+
+        result = PageRankResult(
+            ranks=None,
+            rounds=len(errors),
+            converged=converged,
+            errors=errors,
+            dangling_mass=masses,
+            round_ms=round_ms,
+            num_vertices=n,
+            num_edges=num_edges,
+        )
+        final = np.array(
+            np.load(rank_paths[cur], mmap_mode="r")
+        )  # copy out of tmpfs before rmtree
         out = pd.DataFrame({"id": np.arange(n, dtype=np.int64), "rank": final})
         result.ranks = spark.createDataFrame(out)
         return result

@@ -523,8 +523,45 @@ def q_ppr_5rounds(spark, sf_dir):
     )
 
 
+def _web_pages(spark, sf_dir):
+    """Deterministic input_hint-shaped pages table (url, warc_ts,
+    html binary, text, lang) synthesised from documents — see
+    sources/pages_synth.py for the closed-form link rule."""
+    from dxa_pagerank_spark.sources.pages_synth import synth_pages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return synth_pages(docs, docs.count())
+
+
+def q_web_pagerank(spark, sf_dir):
+    """End-to-end north_rule path: pages(html bytes) -> anchor parse
+    (frozen pandas-UDF extractor) -> href resolve/filter -> edges with
+    join-mode ids -> converged PageRank. The oracle regenerates the
+    identical edge multiset from the arithmetic link rule (no HTML) and
+    runs the unrolled reference-exact PageRank on it."""
+    from dxa_pagerank_spark.operators.pagerank import pagerank
+    from dxa_pagerank_spark.sources.pages import pages_to_edges
+    from dxa_pagerank_spark.sources.pages_synth import synth_url_ids
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    edges = pages_to_edges(
+        _web_pages(spark, sf_dir), id_mode="join", url_ids=synth_url_ids(docs)
+    )
+    res = pagerank(spark, edges, damping=DAMPING, threshold=1e-10, max_rounds=100)
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_web_page_text(spark, sf_dir):
+    """Byte-identical html -> text extraction at driver level: the text
+    column is recomputed from the html bytes by the frozen extractor
+    UDF; the oracle states the closed-form expected string per url."""
+    return _web_pages(spark, sf_dir).select("url", "text", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "web_pagerank": q_web_pagerank,
+        "web_page_text": q_web_page_text,
         "out_degrees": q_out_degrees,
         "degree_distribution": q_degree_distribution,
         "pagerank_2rounds": q_pagerank_2rounds,
@@ -568,15 +605,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
-def _pagerank_rounds_sql(k: int) -> str:
+def _pagerank_rounds_sql(k: int, edges_sql: str = _EDGES_SQL) -> str:
     """Unrolled k-round reference-exact PageRank as DuckDB CTEs:
     round-1 danglingPR = 1/N quirk, frozen dangling during iteration,
     conservation-inferred dangling mass, final restore pass
-    (SURVEY.md §2.3). Defines CTE `final(id, rank)`."""
+    (SURVEY.md §2.3). Defines CTE `final(id, rank)`. ``edges_sql`` picks
+    the edge table (default: the lineitem projection; web_pagerank
+    passes the synthetic-pages link rule)."""
     # AS MATERIALIZED everywhere: DuckDB inlines CTEs by default, and an
     # unrolled iteration would re-expand each round's plan exponentially.
     parts = [
-        f"WITH edges AS MATERIALIZED ({_EDGES_SQL})",
+        f"WITH edges AS MATERIALIZED ({edges_sql})",
         "verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges)",
         "nv AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM verts)",
         "deg AS MATERIALIZED (SELECT src AS id, count(*)::DOUBLE AS out_deg FROM edges GROUP BY src)",
@@ -847,6 +886,41 @@ _MINHASH_GROUPS_SQL = """
       SELECT e.v, r.label FROM r JOIN sym e ON e.u = r.id
       WHERE r.label < e.v)
     SELECT id AS doc_id, min(label) AS group_id FROM r GROUP BY id
+"""
+
+
+# The synthetic-pages link rule in closed form (sources/pages_synth.py):
+# page i links to (i+1)%N and (3i+7)%N, duplicates the first link when
+# i%3==0, and pages with i%10==0 are dangling. The engine derives this
+# multiset by PARSING the generated html; the oracle states it directly.
+_WEB_EDGES_SQL = """
+    SELECT doc_id AS src,
+           (doc_id + 1) % (SELECT count(*) FROM documents) AS dst
+    FROM documents WHERE doc_id % 10 <> 0
+    UNION ALL
+    SELECT doc_id, (3 * doc_id + 7) % (SELECT count(*) FROM documents)
+    FROM documents WHERE doc_id % 10 <> 0
+    UNION ALL
+    SELECT doc_id, (doc_id + 1) % (SELECT count(*) FROM documents)
+    FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 3 = 0
+"""
+
+# Closed-form expected extraction output per page (title node, body
+# node, anchor-text nodes in document order, joined by \n — the frozen
+# extractor's rules over the generated single-line html).
+_WEB_PAGE_TEXT_SQL = """
+    SELECT 'https://example.org/doc/' || doc_id AS url,
+           'Doc ' || doc_id || chr(10)
+             || 'Synthetic page ' || doc_id || ' of '
+             || (SELECT count(*) FROM documents) || '.'
+             || CASE WHEN doc_id % 10 <> 0 THEN
+                    chr(10) || 'next' || chr(10) || 'rel'
+                    || CASE WHEN doc_id % 3 = 0
+                            THEN chr(10) || 'again' ELSE '' END
+                ELSE '' END
+             || chr(10) || 'mail' AS text,
+           'en' AS lang
+    FROM documents
 """
 
 
@@ -1280,6 +1354,9 @@ def oracle_sql() -> dict[str, str]:
         # buckets and ranks bit-for-bit (see the builders above).
         "ann_topk_lsh": _ann_topk_lsh_sql(),
         "simhash_near_dup": _simhash_near_dup_sql(),
+        "web_pagerank": _pagerank_rounds_sql(60, edges_sql=_WEB_EDGES_SQL)
+        + "SELECT id, round(rank, 6) AS rank FROM final",
+        "web_page_text": _WEB_PAGE_TEXT_SQL,
         # groups oracles are connected components over the EXACT pair
         # graphs (all-pairs Jaccard / hamming), so they also re-verify
         # that the star-collapsed candidate generation loses no

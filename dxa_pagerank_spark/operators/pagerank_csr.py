@@ -127,6 +127,34 @@ def _shm_available(spark: SparkSession) -> bool:
 # shm exchange: CSR blocks + rank vectors in tmpfs memory-maps
 # ---------------------------------------------------------------------------
 
+def _sweep_stale_workdirs() -> None:
+    """Remove tmpfs workdirs whose owning driver process is dead — a
+    SIGKILLed driver never reaches its rmtree, and leaked /dev/shm is
+    resident RAM on a long-lived node. Each live run writes its pid to
+    ``owner.pid``; dirs with a dead (or missing) owner are reclaimed."""
+    try:
+        names = os.listdir(_SHM_DIR)
+    except OSError:
+        return
+    for name in names:
+        if not name.startswith("dxa_csr_"):
+            continue
+        d = os.path.join(_SHM_DIR, name)
+        try:
+            with open(os.path.join(d, "owner.pid")) as f:
+                pid = int(f.read().strip())
+            alive = os.path.exists(f"/proc/{pid}")
+        except (OSError, ValueError):
+            # no/garbled pidfile: only reclaim if old enough that the
+            # owner (which writes the pidfile immediately) must be gone
+            try:
+                alive = (time.time() - os.path.getmtime(d)) < 3600
+            except OSError:
+                continue
+        if not alive:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _pagerank_csr_shm(
     spark: SparkSession,
     edges: DataFrame,
@@ -141,7 +169,10 @@ def _pagerank_csr_shm(
     n = num_vertices
     inv_n = 1.0 / n
     idx_t = "int" if n < 2**31 else "long"
+    _sweep_stale_workdirs()
     workdir = tempfile.mkdtemp(prefix="dxa_csr_", dir=_SHM_DIR)
+    with open(os.path.join(workdir, "owner.pid"), "w") as f:
+        f.write(str(os.getpid()))
 
     def blk(pid: int, what: str) -> str:
         return os.path.join(workdir, f"blk_{pid}_{what}.npy")

@@ -99,25 +99,40 @@ def main(argv: list[str] | None = None) -> None:
     os.makedirs(out, exist_ok=True)
 
     if args.printPR:
-        # "name rank" text lines, 1-based names, plain decimal (never
-        # scientific, never locale-grouped — format parity with
-        # BigDecimal.toPlainString, PRInfoTask.java:83-86; VERDICT r01 #6).
+        # "name rank" text lines, plain decimal (never scientific, never
+        # locale-grouped — format parity with BigDecimal.toPlainString,
+        # PRInfoTask.java:83-86; VERDICT r01 #6). Name column parity
+        # (PRInfoTask.java:83-86): file input writes the vertex's 1-based
+        # name; synthetic input (name==0 in the reference) writes the hex
+        # ChunkID `0x` + 16 uppercase hex digits of (nodeID<<48)|LID,
+        # where vertices get LIDs 1..cnt per slave in creation order
+        # (CreateSyntheticGraphSeed.java:109 creates all vertices first;
+        # MainPR.java:111 puts the MetaChunk at LID cnt+1). DXRAM node
+        # IDs are runtime-assigned and unreproducible, so the 0-based
+        # slave index stands in deterministically.
         # One output directory per slave, mirroring the reference's
         # "$NodeID$.pageRank" per-peer files: file input places vertex
         # v (1-based) on slave (v-1) % S (ReadLumpInEdgeListTask.java:59),
         # synthetic uses contiguous blocks (CreateSyntheticGraphSeed
         # .java:51-53, balanced ceil/floor counts MainPR.java:241-248).
+        slave_col = _slave_of(F.col("id"), args.vertexCnt, args.slaves, synthetic)
+        if synthetic:
+            lid = _local_pos_of(F.col("id"), slave_col, args.vertexCnt,
+                                args.slaves) + 1
+            name_col = F.format_string(
+                "0x%016X",
+                (slave_col.cast("long") * F.lit(1 << 48)) + lid.cast("long"),
+            )
+        else:
+            name_col = (F.col("id") + 1).cast("string")
         ranks_out = res.ranks.select(
             F.col("id"),
             F.concat_ws(
                 " ",
-                (F.col("id") + 1).cast("string"),
+                name_col,
                 F.format_string("%.12f", F.col("rank")),
             ).alias("value"),
-        ).withColumn(
-            "slave",
-            _slave_of(F.col("id"), args.vertexCnt, args.slaves, synthetic),
-        )
+        ).withColumn("slave", slave_col)
         (
             ranks_out.select("slave", "value")
             .repartition("slave")
@@ -166,6 +181,26 @@ def _slave_of(id_col, n: int, n_slaves: int, synthetic: bool):
     return F.when(id_col < split, (id_col / hi).cast("int")).otherwise(
         (F.lit(mod) + (id_col - split) / F.lit(max(lo_cnt, 1))).cast("int")
     )
+
+
+def _local_pos_of(id_col, slave_col, n: int, n_slaves: int):
+    """Column expr: 0-based position of vertex `id` within its slave's
+    contiguous synthetic block (block starts per the balanced ceil/floor
+    law, CreateSyntheticGraphSeed.java:149-163)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    if n_slaves <= 1:
+        return id_col
+    mod = n % n_slaves
+    hi = int(math.ceil(n / n_slaves))
+    lo = int(math.floor(n / n_slaves))
+    # block start of slave s: s*hi for s < mod, mod*hi + (s-mod)*lo after
+    start = F.when(slave_col < mod, slave_col * hi).otherwise(
+        F.lit(mod * hi) + (slave_col - mod) * lo
+    )
+    return id_col - start
 
 
 def _jvm_heap_used_mb(spark) -> float:

@@ -86,7 +86,9 @@ def test_job_s2_file_input_matches_s1(spark, tmp_path):
 
 def test_job_s2_synthetic_runs_parity_generator(spark, tmp_path):
     """Synthetic source at S=2 goes through the distributed draw-parity
-    generator and block placement."""
+    generator, block placement, and the hex-ChunkID name mode
+    (PRInfoTask.java:86: synthetic output names are
+    ChunkID.toHexString((nodeID<<48)|LID), vertices at LID 1..cnt)."""
     from dxa_pagerank_spark.datagen import synthetic_edges
     from dxa_pagerank_spark.oracle import pagerank_oracle
     from jobs.pagerank_job import main
@@ -102,15 +104,37 @@ def test_job_s2_synthetic_runs_parity_generator(spark, tmp_path):
     for p in sorted(out.glob("pageRank/**/part-*")):
         for ln in p.read_text().splitlines():
             name, val = ln.split(" ")
-            got[int(name) - 1] = float(val)
+            assert name.startswith("0x") and len(name) == 18  # 0x + 16 hex
+            cid = int(name, 16)
+            slave, lid = cid >> 48, cid & ((1 << 48) - 1)
+            got[slave * 50 + lid - 1] = float(val)  # block start = s*50
     assert len(got) == 100
     for i in range(100):
         assert abs(got[i] - oracle.ranks[i]) < 1e-9
-    # block placement: slave=0 holds global ids 0..49 (names 1..50)
+    # block placement: slave=0 holds global ids 0..49 (LIDs 1..50, node 0)
     names0 = set()
     for p in (out / "pageRank/slave=0").glob("part-*"):
-        names0 |= {int(ln.split(" ")[0]) for ln in p.read_text().splitlines()}
-    assert names0 == set(range(1, 51))
+        names0 |= {ln.split(" ")[0] for ln in p.read_text().splitlines()}
+    assert names0 == {f"0x{lid:016X}" for lid in range(1, 51)}
+
+
+def test_synthetic_block_placement_uneven(spark):
+    """Uneven N % S split: first `mod` slaves take ceil-sized blocks
+    (CreateSyntheticGraphSeed.java:149-163). N=7, S=3 -> blocks
+    [0..2], [3..4], [5..6]; LIDs restart at 1 inside each block."""
+    from pyspark.sql import functions as F
+
+    from jobs.pagerank_job import _local_pos_of, _slave_of
+
+    df = spark.range(7).select(F.col("id").cast("long"))
+    s = _slave_of(F.col("id"), 7, 3, synthetic=True)
+    rows = (
+        df.select("id", s.alias("slave"),
+                  (_local_pos_of(F.col("id"), s, 7, 3) + 1).alias("lid"))
+        .orderBy("id").collect()
+    )
+    assert [(r.slave, r.lid) for r in rows] == [
+        (0, 1), (0, 2), (0, 3), (1, 1), (1, 2), (2, 1), (2, 2)]
 
 
 def test_statistics_out_file_input_omits_synth_lines(tmp_path):

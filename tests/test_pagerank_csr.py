@@ -47,6 +47,41 @@ def test_csr_matches_dataframe_impl(spark):
     np.testing.assert_allclose(np.array(a.errors), np.array(b.errors), atol=1e-12)
 
 
+def test_sweep_stale_workdirs(tmp_path, monkeypatch):
+    """A SIGKILLed driver leaks its tmpfs workdir; the sweep reclaims
+    dirs whose owner pid is dead (or whose pidfile is missing and the
+    dir is over an hour old) and leaves live/recent ones alone."""
+    import os
+    import time
+
+    import dxa_pagerank_spark.operators.pagerank_csr as mod
+
+    monkeypatch.setattr(mod, "_SHM_DIR", str(tmp_path))
+
+    def mk(name, pid=None, age=0.0):
+        d = tmp_path / name
+        d.mkdir()
+        if pid is not None:
+            (d / "owner.pid").write_text(str(pid))
+        if age:
+            t = time.time() - age
+            os.utime(d, (t, t))
+        return d
+
+    dead_pid = 2**31 - 1  # above pid_max on linux: never a live process
+    stale = mk("dxa_csr_stale", pid=dead_pid)
+    live = mk("dxa_csr_live", pid=os.getpid())
+    fresh_nopid = mk("dxa_csr_fresh", pid=None)          # racing startup
+    old_nopid = mk("dxa_csr_old", pid=None, age=7200.0)  # garbled+old
+    other = mk("not_ours", pid=dead_pid)                 # wrong prefix
+
+    mod._sweep_stale_workdirs()
+
+    assert not stale.exists()
+    assert not old_nopid.exists()
+    assert live.exists() and fresh_nopid.exists() and other.exists()
+
+
 def test_csr_batch_boundary_merge(spark, monkeypatch):
     """Force many tiny Arrow batches per partition so dst segments
     straddle batch boundaries — covers the in-kernel merge that the

@@ -558,10 +558,70 @@ def q_web_page_text(spark, sf_dir):
     return _web_pages(spark, sf_dir).select("url", "text", "lang")
 
 
+def _web_edges(spark, sf_dir):
+    from dxa_pagerank_spark.sources.pages import pages_to_edges
+    from dxa_pagerank_spark.sources.pages_synth import synth_url_ids
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return pages_to_edges(
+        _web_pages(spark, sf_dir), id_mode="join", url_ids=synth_url_ids(docs)
+    )
+
+
+def q_anchor_text_stats(spark, sf_dir):
+    """Incoming anchor-text aggregation per target url — the classic
+    link-text relevance signal. Engine side parses the html (anchor
+    parser with text capture, functions/linkextract.py); the oracle
+    regenerates the (target, text) multiset from the arithmetic link
+    rule ('next'/'rel'/'again' arms) and aggregates in SQL."""
+    from dxa_pagerank_spark.sources.pages import page_anchors
+
+    anchors = page_anchors(_web_pages(spark, sf_dir))
+    return anchors.groupBy(F.col("link").alias("url")).agg(
+        F.count(F.lit(1)).alias("n_anchors"),
+        F.array_join(F.array_sort(F.collect_set("text")), "|").alias("texts"),
+    )
+
+
+_SITE_BLOCK = 25  # synthetic "site" = 25 consecutive doc ids (see sitegraph.py)
+
+
+def q_site_graph(spark, sf_dir):
+    """Host-graph construction: collapse the page link graph to one
+    vertex per site with edge multiplicity as weight, self-loops
+    dropped (operators/sitegraph.py). On a real crawl the site key is
+    parse_url(url,'HOST'); the single-host fixture uses id blocks."""
+    from dxa_pagerank_spark.operators.sitegraph import site_rollup
+
+    return site_rollup(_web_edges(spark, sf_dir), block_size=_SITE_BLOCK)
+
+
+def q_site_pagerank(spark, sf_dir):
+    """Weighted PageRank over the rolled-up site graph (10 rounds,
+    rank distributed proportional to inter-site link multiplicity,
+    dangling mass redistributed uniformly per round —
+    operators/wpagerank.py)."""
+    import math
+
+    from dxa_pagerank_spark.operators.sitegraph import site_rollup
+    from dxa_pagerank_spark.operators.wpagerank import weighted_pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n_sites = int(math.ceil(docs.count() / _SITE_BLOCK))
+    sites = site_rollup(_web_edges(spark, sf_dir), block_size=_SITE_BLOCK)
+    ranks = weighted_pagerank(
+        spark, sites, num_vertices=n_sites, damping=DAMPING, rounds=10
+    )
+    return ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "web_pagerank": q_web_pagerank,
         "web_page_text": q_web_page_text,
+        "anchor_text_stats": q_anchor_text_stats,
+        "site_graph": q_site_graph,
+        "site_pagerank": q_site_pagerank,
         "out_degrees": q_out_degrees,
         "degree_distribution": q_degree_distribution,
         "pagerank_2rounds": q_pagerank_2rounds,
@@ -904,6 +964,74 @@ _WEB_EDGES_SQL = """
     SELECT doc_id, (doc_id + 1) % (SELECT count(*) FROM documents)
     FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 3 = 0
 """
+
+# (target, anchor_text) multiset in closed form: arm 1 carries text
+# 'next', arm 2 'rel', the i%3==0 duplicate 'again'; the mailto anchor
+# is scheme-filtered out before any aggregation.
+_ANCHOR_TEXT_SQL = """
+    WITH pairs AS (
+        SELECT (doc_id + 1) % (SELECT count(*) FROM documents) AS dst,
+               'next' AS text
+        FROM documents WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT (3 * doc_id + 7) % (SELECT count(*) FROM documents), 'rel'
+        FROM documents WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT (doc_id + 1) % (SELECT count(*) FROM documents), 'again'
+        FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 3 = 0
+    )
+    SELECT 'https://example.org/doc/' || dst AS url,
+           count(*) AS n_anchors,
+           array_to_string(list_sort(list_distinct(list(text))), '|') AS texts
+    FROM pairs GROUP BY dst
+"""
+
+# Site rollup of the web edge multiset: block of 25 ids = one site,
+# self-loops dropped, multiplicity -> weight (operators/sitegraph.py).
+_SITE_EDGES_SQL = """
+    SELECT src // 25 AS src, dst // 25 AS dst, count(*)::DOUBLE AS weight
+    FROM ({web_edges}) pages_e
+    WHERE src // 25 <> dst // 25
+    GROUP BY 1, 2
+"""
+
+_SITE_VERTS_SQL = "SELECT DISTINCT doc_id // 25 AS id FROM documents"
+
+
+def _wpagerank_rounds_sql(k: int, edges_sql: str, verts_sql: str) -> str:
+    """Unrolled k-round WEIGHTED PageRank (operators/wpagerank.py
+    semantics: contribution proportional to weight/out-weight, dangling
+    mass summed from the CURRENT ranks and redistributed uniformly,
+    no reference round-1 quirk). Defines CTE `final(id, rank)`.
+    Float literals use e-notation so DuckDB parses them as DOUBLE and
+    the IEEE expression tree matches the engine's driver arithmetic."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_sql})",
+        f"verts AS MATERIALIZED ({verts_sql})",
+        "nv AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM verts)",
+        "tot AS MATERIALIZED (SELECT src AS id, sum(weight) AS w_tot"
+        " FROM edges GROUP BY src HAVING sum(weight) > 0)",
+        "ew AS MATERIALIZED (SELECT e.src, e.dst, e.weight/t.w_tot AS w"
+        " FROM edges e JOIN tot t ON e.src = t.id)",
+        "dang AS MATERIALIZED (SELECT id FROM verts EXCEPT SELECT id FROM tot)",
+        "r0 AS MATERIALIZED (SELECT id, 1e0/(SELECT n FROM nv) AS rank FROM verts)",
+    ]
+    for i in range(1, k + 1):
+        parts += [
+            f"d{i} AS MATERIALIZED (SELECT coalesce(sum(rank),0) AS m"
+            f" FROM r{i - 1} WHERE id IN (SELECT id FROM dang))",
+            f"c{i} AS MATERIALIZED (SELECT ew.dst AS id, sum(r.rank*ew.w) AS contrib"
+            f" FROM ew JOIN r{i - 1} r ON ew.src = r.id GROUP BY ew.dst)",
+            # engine: rank = ((1-d)/n + d*dmass/n) + d*coalesce(contrib,0)
+            f"r{i} AS MATERIALIZED (SELECT v.id,"
+            f" (1e0 - 0.85e0)/(SELECT n FROM nv)"
+            f" + 0.85e0*(SELECT m FROM d{i})/(SELECT n FROM nv)"
+            f" + 0.85e0*coalesce(c{i}.contrib,0) AS rank"
+            f" FROM verts v LEFT JOIN c{i} ON v.id = c{i}.id)",
+        ]
+    parts.append(f"final AS (SELECT id, rank FROM r{k})")
+    return ",\n".join(parts) + "\n"
+
 
 # Closed-form expected extraction output per page (title node, body
 # node, anchor-text nodes in document order, joined by \n — the frozen
@@ -1357,6 +1485,14 @@ def oracle_sql() -> dict[str, str]:
         "web_pagerank": _pagerank_rounds_sql(60, edges_sql=_WEB_EDGES_SQL)
         + "SELECT id, round(rank, 6) AS rank FROM final",
         "web_page_text": _WEB_PAGE_TEXT_SQL,
+        "anchor_text_stats": _ANCHOR_TEXT_SQL,
+        "site_graph": _SITE_EDGES_SQL.format(web_edges=_WEB_EDGES_SQL),
+        "site_pagerank": _wpagerank_rounds_sql(
+            10,
+            edges_sql=_SITE_EDGES_SQL.format(web_edges=_WEB_EDGES_SQL),
+            verts_sql=_SITE_VERTS_SQL,
+        )
+        + "SELECT id, round(rank, 6) AS rank FROM final",
         # groups oracles are connected components over the EXACT pair
         # graphs (all-pairs Jaccard / hamming), so they also re-verify
         # that the star-collapsed candidate generation loses no

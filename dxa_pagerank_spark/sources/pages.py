@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.linkextract import extract_links_udf
+from ..functions.linkextract import extract_anchors_udf, extract_links_udf
 from ..functions.textextract import extract_text_udf
 
 
@@ -67,6 +67,21 @@ def pages_to_edges(
             .select("src", "dst")
         )
     raise ValueError(f"unknown id_mode {id_mode!r}")
+
+
+def page_anchors(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) -> (url, pos, link, text): one row per
+    http(s) anchor with its anchor text, document order via pos,
+    duplicates kept. Anchor text is the classic incoming-link relevance
+    signal — aggregated per *target* it describes pages the crawl may
+    not even contain (the web-scale path groups by xxhash64(link), so
+    the 100-TB shuffle carries (8B id, short text) rows only)."""
+    with_anchors = pages.select(
+        "url", extract_anchors_udf()(F.col("html"), F.col("url")).alias("anchors")
+    )
+    return with_anchors.select(
+        "url", F.posexplode("anchors").alias("pos", "a")
+    ).select("url", "pos", F.col("a.link").alias("link"), F.col("a.text").alias("text"))
 
 
 def enrich_pages(pages: DataFrame) -> DataFrame:

@@ -112,3 +112,38 @@ def test_results_invariant_across_partitioning(spark):
     assert r1.rounds == r2.rounds
     diffs = np.array([abs(a[i] - b[i]) for i in a])
     assert diffs.max() < 1e-9
+
+
+def test_site_rollup_and_weighted_gather_jvm_only(spark):
+    """Host-graph rollup (one shuffle, partial+final counts) and the
+    weighted-PageRank gather stay JVM-side (operators/sitegraph.py,
+    operators/wpagerank.py)."""
+    from dxa_pagerank_spark.operators.sitegraph import site_rollup
+
+    src, dst = fast_synthetic_edges(2000, 4, seed=3)
+    edges = edges_to_spark(spark, src, dst)
+    sites = site_rollup(edges, block_size=25)
+    plan = _plan(sites)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side partial counts
+
+    tot = sites.groupBy(F.col("src").alias("t_src")).agg(
+        F.sum("weight").alias("w_tot")
+    )
+    adj = sites.join(tot, sites.src == F.col("t_src")).select(
+        "src", "dst", (F.col("weight") / F.col("w_tot")).alias("w_norm")
+    )
+    ranks = (
+        sites.select(F.col("src").alias("id")).distinct()
+        .select("id", F.lit(1e-3).alias("rank"))
+    )
+    contribs = (
+        adj.join(ranks.select(F.col("id").alias("src"), "rank"), "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") * F.col("w_norm")).alias("c"))
+    )
+    plan = _plan(contribs)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2

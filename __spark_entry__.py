@@ -615,6 +615,62 @@ def q_site_pagerank(spark, sf_dir):
     return ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_graph_reciprocity(spark, sf_dir):
+    """Reciprocity of the page link graph: share of distinct non-loop
+    edges whose reverse edge exists (operators/graphstats.py). The
+    oracle regenerates the arithmetic edge multiset and replays the
+    same distinct/EXISTS logic in SQL."""
+    from dxa_pagerank_spark.operators.graphstats import reciprocity
+
+    return reciprocity(_web_edges(spark, sf_dir)).select(
+        "n_edges", "n_reciprocal", F.round("reciprocity", 6).alias("reciprocity")
+    )
+
+
+def q_degree_assortativity(spark, sf_dir):
+    """Out-in degree assortativity (Pearson over edges) of the page
+    link graph — operators/graphstats.py. The five sufficient sums are
+    integer-valued, so the correlation is bit-deterministic and the SQL
+    oracle matches exactly."""
+    from dxa_pagerank_spark.operators.graphstats import degree_assortativity
+
+    return degree_assortativity(_web_edges(spark, sf_dir)).select(
+        "n", F.round("assortativity", 6).alias("assortativity")
+    )
+
+
+def q_corpus_curation(spark, sf_dir):
+    """Composed training-corpus curation chain (exact dedup -> lang
+    allow-list -> quality floor -> token band) reported per language —
+    functions/curation.py."""
+    from dxa_pagerank_spark.functions.curation import curation_report
+
+    return curation_report(
+        _t(spark, sf_dir, "documents"),
+        langs=("en", "de"),
+        min_quality=0.5,
+        min_tokens=10,
+        max_tokens=100_000,
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic hash-keyed stratified sample (partitioning- and
+    engine-independent, functions/sampling.py): keep 50% of en, 25% of
+    de, 10% of every other language."""
+    from dxa_pagerank_spark.functions.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs,
+        key="doc_id",
+        stratum="lang",
+        rates={"en": 0.5, "de": 0.25},
+        default_rate=0.1,
+        salt=1,
+    ).select("doc_id", "lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "web_pagerank": q_web_pagerank,
@@ -622,6 +678,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_stats": q_anchor_text_stats,
         "site_graph": q_site_graph,
         "site_pagerank": q_site_pagerank,
+        "graph_reciprocity": q_graph_reciprocity,
+        "degree_assortativity": q_degree_assortativity,
+        "corpus_curation": q_corpus_curation,
+        "stratified_sample": q_stratified_sample,
         "out_degrees": q_out_degrees,
         "degree_distribution": q_degree_distribution,
         "pagerank_2rounds": q_pagerank_2rounds,
@@ -996,6 +1056,82 @@ _SITE_EDGES_SQL = """
 """
 
 _SITE_VERTS_SQL = "SELECT DISTINCT doc_id // 25 AS id FROM documents"
+
+# Reciprocity / assortativity over the distinct non-loop web edge set —
+# same distinct + degree-join logic as operators/graphstats.py; all
+# inputs to the float math are integer-valued so values match exactly.
+_RECIPROCITY_SQL = """
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM ({web_edges}) we WHERE src <> dst),
+    r AS (SELECT count(*) AS n_reciprocal FROM e
+          WHERE EXISTS (SELECT 1 FROM e e2
+                        WHERE e2.src = e.dst AND e2.dst = e.src)),
+    n AS (SELECT count(*) AS n_edges FROM e)
+    SELECT n.n_edges, r.n_reciprocal,
+           round(r.n_reciprocal::DOUBLE / n.n_edges, 6) AS reciprocity
+    FROM n, r
+"""
+
+_ASSORTATIVITY_SQL = """
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM ({web_edges}) we WHERE src <> dst),
+    od AS (SELECT src, count(*)::DOUBLE AS x FROM e GROUP BY src),
+    idg AS (SELECT dst, count(*)::DOUBLE AS y FROM e GROUP BY dst),
+    p AS (SELECT od.x, idg.y FROM e
+          JOIN od ON e.src = od.src JOIN idg ON e.dst = idg.dst),
+    s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                 sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy FROM p)
+    SELECT n,
+           round((n*sxy - sx*sy)
+                 / (sqrt(n*sxx - sx*sx) * sqrt(n*syy - sy*sy)), 6)
+               AS assortativity
+    FROM s
+"""
+
+# Curation chain in SQL: min-id-per-md5 keep set, then the same quality
+# / token expressions as the doc_quality and doc_stats oracles, then
+# the allow-list and bands, aggregated per lang.
+_CURATION_SQL = """
+    WITH kept AS (
+        SELECT d.* FROM documents d
+        JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
+              FROM documents GROUP BY md5(text)) k
+          ON d.doc_id = k.doc_id),
+    scored AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT AS n_tokens,
+               round(((CASE WHEN length(text) BETWEEN 200 AND 20000 THEN 1.0
+                            ELSE least(length(text)::DOUBLE / 200.0, 1.0) END)
+                      + (CASE WHEN (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                                    / greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1))
+                                   BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+                      + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE
+                        / greatest(length(text), 1)) / 3.0, 6) AS quality
+        FROM kept)
+    SELECT lang, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+           round(avg(quality), 6) AS avg_quality
+    FROM scored
+    WHERE lang IN ('en', 'de') AND quality >= 0.5
+      AND n_tokens BETWEEN 10 AND 100000
+    GROUP BY lang
+"""
+
+
+def _strat_sample_sql() -> str:
+    """Mirror of q_stratified_sample: same fold/multiply/threshold
+    arithmetic as functions/sampling.py, thresholds per stratum."""
+    from dxa_pagerank_spark.functions.sampling import MOD, _FOLD, KNUTH
+
+    def thr(rate: float) -> int:
+        return int(rate * MOD)
+
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE (((doc_id + 1) % {_FOLD} + {_FOLD}) % {_FOLD} * {KNUTH}) % {MOD}
+              < (CASE lang WHEN 'de' THEN {thr(0.25)}
+                           WHEN 'en' THEN {thr(0.5)}
+                           ELSE {thr(0.1)} END)
+    """
 
 
 def _wpagerank_rounds_sql(k: int, edges_sql: str, verts_sql: str) -> str:
@@ -1493,6 +1629,12 @@ def oracle_sql() -> dict[str, str]:
             verts_sql=_SITE_VERTS_SQL,
         )
         + "SELECT id, round(rank, 6) AS rank FROM final",
+        "graph_reciprocity": _RECIPROCITY_SQL.format(web_edges=_WEB_EDGES_SQL),
+        "degree_assortativity": _ASSORTATIVITY_SQL.format(
+            web_edges=_WEB_EDGES_SQL
+        ),
+        "corpus_curation": _CURATION_SQL,
+        "stratified_sample": _strat_sample_sql(),
         # groups oracles are connected components over the EXACT pair
         # graphs (all-pairs Jaccard / hamming), so they also re-verify
         # that the star-collapsed candidate generation loses no

@@ -1,0 +1,106 @@
+"""Deterministic corpus sampling for training-data pipelines.
+
+`df.sample()` is seed-stable only for a fixed partitioning — repartition
+the input and the sample changes, which is useless for a 100-TB corpus
+that is re-sharded between runs. Production corpus sampling keys the
+decision on the ROW, not the partition: hash a stable key, keep the row
+iff the hash lands under the rate. That makes the sample reproducible
+across partitionings, clusters, and engines, lets two teams draw
+identical samples from the same snapshot, and composes with stratified
+rates (different keep-rates per language/kind/quality band — the
+standard way to re-balance a web corpus for training).
+
+The hash here is a Knuth multiplicative hash over a 64-bit key,
+`(key * 2654435761) mod 2^32` (golden-ratio constant, Knuth TAOCP v3
+§6.4), salted by addition before the multiply. Chosen over xxhash64
+because it is closed-form arithmetic: the DuckDB oracle reproduces the
+decision bit-exactly in plain SQL (xxhash64's avalanche loop is not
+expressible without 64-bit wrap-around multiplication, which SQL
+HUGEINTs can't do in one step). For adversarial keys a production
+deployment would swap in `F.xxhash64` — the operator shape (filter on a
+pure column expression, no shuffle, fully pushdown-friendly) is
+unchanged; only the mixing constant differs.
+
+Everything is a JVM-side column expression: sampling adds ZERO shuffles
+and survives predicate pushdown — at 100 TB a 1% sample reads all data
+once and writes 1%, with no exchange.
+
+No reference counterpart (dxa-pageRank has no sampling); this is part
+of the LLM-data-pipeline surface the north_rule adds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761  # 2^32 * (golden ratio - 1), Knuth multiplicative constant
+MOD = 1 << 32
+_FOLD = 1 << 31  # key folded below 2^31: (2^31-1) * KNUTH < 2^63, no overflow
+
+
+def hash_bucket(key: Column, salt: int = 0) -> Column:
+    """Deterministic bucket in [0, 2^32) from a 64-bit key column.
+
+    `(((key + salt) mod 2^31) * KNUTH) mod 2^32` — folding the key
+    below 2^31 first keeps the multiply exact in signed BIGINT
+    ((2^31-1) * KNUTH < 2^63), so there is no overflow and no
+    engine-specific wrap semantics to replicate in the SQL oracle.
+    """
+    folded = F.pmod(key.cast("long") + F.lit(salt), F.lit(_FOLD))
+    return F.pmod(folded * F.lit(KNUTH), F.lit(MOD))
+
+
+def hash_sample(
+    df: DataFrame, key: str | Column, rate: float, salt: int = 0
+) -> DataFrame:
+    """Keep each row iff hash_bucket(key) < rate * 2^32.
+
+    Reproducible across partitionings/engines; expected fraction `rate`
+    (exact decision per key — identical keys sample together, which is
+    what you want when the key is a document id / url hash).
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate {rate} outside [0, 1]")
+    return df.filter(hash_bucket(key, salt) < int(rate * MOD))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str | Column,
+    stratum: str | Column,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic rates (e.g. keep 100% of high-quality
+    docs, 10% of medium, 1% of boilerplate) — the standard corpus
+    re-balancing step. `rates` maps stratum value -> keep rate; strata
+    not listed fall back to `default_rate`.
+
+    The rate table is folded into a CASE expression (Catalyst constant
+    territory), NOT a join — for the realistic case of tens of strata
+    this keeps the op shuffle-free and pushdown-friendly. For thousands
+    of strata, broadcast-join a rates DataFrame instead.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    stratum = F.col(stratum) if isinstance(stratum, str) else stratum
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate {r} for stratum {s!r} outside [0, 1]")
+    threshold = F.lit(int(default_rate * MOD))
+    for s, r in sorted(rates.items()):
+        threshold = F.when(stratum == F.lit(s), F.lit(int(r * MOD))).otherwise(
+            threshold
+        )
+    return df.filter(hash_bucket(key, salt) < threshold)
+
+
+def sample_sql_predicate(key_sql: str, rate: float, salt: int = 0) -> str:
+    """The DuckDB-side mirror of hash_sample's filter, for oracle SQL:
+    same fold, same multiply, same threshold."""
+    return (
+        f"((({key_sql} + {salt}) % {_FOLD} + {_FOLD}) % {_FOLD} * {KNUTH}) % {MOD}"
+        f" < {int(rate * MOD)}"
+    )

@@ -51,17 +51,20 @@ def doc_stats(documents: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
-    """Composite [0,1] quality score: length band + alpha ratio +
+def quality_col(col) -> Column:
+    """Composite [0,1] quality expression: length band + alpha ratio +
     mean-token-length band. Deterministic, built-ins only."""
-    c = F.col(text_col)
-    len_band = F.when(F.length(c).between(200, 20000), 1.0).otherwise(
-        F.least(F.length(c).cast("double") / 200.0, F.lit(1.0))
+    len_band = F.when(F.length(col).between(200, 20000), 1.0).otherwise(
+        F.least(F.length(col).cast("double") / 200.0, F.lit(1.0))
     )
-    tok_band = F.when(avg_token_len(c).between(3.0, 10.0), 1.0).otherwise(0.5)
-    score = (len_band + tok_band + alpha_ratio(c)) / 3.0
+    tok_band = F.when(avg_token_len(col).between(3.0, 10.0), 1.0).otherwise(0.5)
+    return F.round((len_band + tok_band + alpha_ratio(col)) / 3.0, 6)
+
+
+def quality_score(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document composite quality frame (see quality_col)."""
     return documents.select(
-        "doc_id", F.round(score, 6).alias("quality")
+        "doc_id", quality_col(F.col(text_col)).alias("quality")
     )
 
 

@@ -615,6 +615,36 @@ def q_site_pagerank(spark, sf_dir):
     return ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_web_scc(spark, sf_dir):
+    """Strongly connected components of the page link graph via the
+    distributed trim + min-label-coloring algorithm
+    (operators/scc.py). The oracle computes mutual reachability from
+    the recursive-CTE transitive closure — scc id = min mutual id."""
+    from dxa_pagerank_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    return strongly_connected_components(
+        spark, _web_edges(spark, sf_dir), vertices=docs
+    )
+
+
+def q_web_bowtie(spark, sf_dir):
+    """Broder bowtie decomposition of the page link graph (core / in /
+    out / other, operators/scc.py) — the canonical Common-Crawl
+    structural statistic. Per-vertex classes so the oracle checks the
+    whole assignment, not just the four counts."""
+    from dxa_pagerank_spark.operators.scc import bowtie_classes
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    return bowtie_classes(spark, _web_edges(spark, sf_dir), vertices=docs)
+
+
 def q_graph_reciprocity(spark, sf_dir):
     """Reciprocity of the page link graph: share of distinct non-loop
     edges whose reverse edge exists (operators/graphstats.py). The
@@ -678,6 +708,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_text_stats": q_anchor_text_stats,
         "site_graph": q_site_graph,
         "site_pagerank": q_site_pagerank,
+        "web_scc": q_web_scc,
+        "web_bowtie": q_web_bowtie,
         "graph_reciprocity": q_graph_reciprocity,
         "degree_assortativity": q_degree_assortativity,
         "corpus_curation": q_corpus_curation,
@@ -1056,6 +1088,43 @@ _SITE_EDGES_SQL = """
 """
 
 _SITE_VERTS_SQL = "SELECT DISTINCT doc_id // 25 AS id FROM documents"
+
+# SCC oracle: mutual-reachability from the recursive-CTE transitive
+# closure of the page graph; scc(v) = min id mutually reachable with v
+# (self included). The bowtie oracle extends it with the largest-SCC
+# core (ties -> min scc id) and forward/backward closure membership.
+_SCC_CLOSURE_SQL = """
+    WITH RECURSIVE e AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM ({web_edges}) we WHERE src <> dst),
+    r AS (
+        SELECT src AS u, dst AS v FROM e
+        UNION
+        SELECT r.u, e.dst FROM r JOIN e ON r.v = e.src),
+    m AS (SELECT a.u AS x, min(a.v) AS mn
+          FROM r a JOIN r b ON a.u = b.v AND a.v = b.u
+          GROUP BY a.u),
+    sccs AS (
+        SELECT d.doc_id AS id,
+               least(d.doc_id, coalesce(m.mn, d.doc_id)) AS scc
+        FROM documents d LEFT JOIN m ON d.doc_id = m.x)
+"""
+
+_SCC_SQL = _SCC_CLOSURE_SQL + "SELECT id, scc FROM sccs"
+
+_BOWTIE_SQL = _SCC_CLOSURE_SQL + """,
+    core AS (SELECT scc AS cid FROM sccs
+             GROUP BY scc ORDER BY count(*) DESC, scc LIMIT 1),
+    fwd AS (SELECT DISTINCT r.v AS id
+            FROM r JOIN sccs s ON r.u = s.id JOIN core ON s.scc = core.cid),
+    bwd AS (SELECT DISTINCT r.u AS id
+            FROM r JOIN sccs s ON r.v = s.id JOIN core ON s.scc = core.cid)
+    SELECT s.id,
+           CASE WHEN s.scc = (SELECT cid FROM core) THEN 'core'
+                WHEN s.id IN (SELECT id FROM bwd) THEN 'in'
+                WHEN s.id IN (SELECT id FROM fwd) THEN 'out'
+                ELSE 'other' END AS cls
+    FROM sccs s
+"""
 
 # Reciprocity / assortativity over the distinct non-loop web edge set —
 # same distinct + degree-join logic as operators/graphstats.py; all
@@ -1629,6 +1698,8 @@ def oracle_sql() -> dict[str, str]:
             verts_sql=_SITE_VERTS_SQL,
         )
         + "SELECT id, round(rank, 6) AS rank FROM final",
+        "web_scc": _SCC_SQL.format(web_edges=_WEB_EDGES_SQL),
+        "web_bowtie": _BOWTIE_SQL.format(web_edges=_WEB_EDGES_SQL),
         "graph_reciprocity": _RECIPROCITY_SQL.format(web_edges=_WEB_EDGES_SQL),
         "degree_assortativity": _ASSORTATIVITY_SQL.format(
             web_edges=_WEB_EDGES_SQL

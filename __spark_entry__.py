@@ -293,6 +293,33 @@ def q_user_sessions(spark, sf_dir):
     )
 
 
+def q_session_spans(spark, sf_dir):
+    """Gap-based sessionization, one row per session (streaming/
+    sessions.py sessionize_batch — the exact batch spec the stateful
+    applyInPandasWithState streaming operator is pinned to in
+    tests/test_streaming_sessions.py)."""
+    from dxa_pagerank_spark.streaming.sessions import sessionize_batch
+
+    return sessionize_batch(_t(spark, sf_dir, "events"))
+
+
+def q_term_topk(spark, sf_dir):
+    """Corpus heavy hitters: top-50 terms by total occurrences with
+    document frequency (functions/terms.py)."""
+    from dxa_pagerank_spark.functions.terms import term_topk
+
+    return term_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms (functions/terms.py); ordering
+    ties are impossible except at equal (tf, df), where both engines
+    compute the identical double."""
+    from dxa_pagerank_spark.functions.terms import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=3)
+
+
 def q_doc_stats(spark, sf_dir):
     from dxa_pagerank_spark.functions.textstats import doc_stats
 
@@ -645,6 +672,33 @@ def q_web_bowtie(spark, sf_dir):
     return bowtie_classes(spark, _web_edges(spark, sf_dir), vertices=docs)
 
 
+def q_web_cocitation(spark, sf_dir):
+    """Co-citation relatedness over the page link graph: pairs of
+    pages sharing an in-linker, with the shared-source count
+    (operators/cocitation.py — the 'related pages' primitive). The
+    oracle is the same distinct-edge self-join in SQL."""
+    from dxa_pagerank_spark.operators.cocitation import cocitation
+
+    return cocitation(_web_edges(spark, sf_dir), min_common=1)
+
+
+def q_web_walks(spark, sf_dir):
+    """Deterministic pseudo-random walks (length 4) from every 50th
+    page over the link graph (operators/walks.py — DeepWalk-style walk
+    sampling with an engine-independent arithmetic neighbor choice, so
+    the SQL oracle replays the identical walks step by step)."""
+    from dxa_pagerank_spark.operators.walks import random_walks
+
+    seeds = (
+        _t(spark, sf_dir, "documents")
+        # % 49 == 1 so most seeds are NOT %10==0 dangling pages and the
+        # walks genuinely traverse (a dangling seed just stops at step 0)
+        .filter(F.col("doc_id") % 49 == 1)
+        .select(F.col("doc_id").alias("id"))
+    )
+    return random_walks(_web_edges(spark, sf_dir), seeds, length=4)
+
+
 def q_graph_reciprocity(spark, sf_dir):
     """Reciprocity of the page link graph: share of distinct non-loop
     edges whose reverse edge exists (operators/graphstats.py). The
@@ -710,6 +764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "site_pagerank": q_site_pagerank,
         "web_scc": q_web_scc,
         "web_bowtie": q_web_bowtie,
+        "web_cocitation": q_web_cocitation,
+        "web_walks": q_web_walks,
         "graph_reciprocity": q_graph_reciprocity,
         "degree_assortativity": q_degree_assortativity,
         "corpus_curation": q_corpus_curation,
@@ -734,7 +790,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supplier_revenue": q_supplier_revenue,
         "events_window_agg": q_events_window_agg,
         "user_sessions": q_user_sessions,
+        "session_spans": q_session_spans,
         "doc_stats": q_doc_stats,
+        "term_topk": q_term_topk,
+        "tfidf_topk": q_tfidf_topk,
         "doc_quality": q_doc_quality,
         "dedup_exact_stats": q_dedup_exact_stats,
         "ann_topk": q_ann_topk,
@@ -1125,6 +1184,112 @@ _BOWTIE_SQL = _SCC_CLOSURE_SQL + """,
                 ELSE 'other' END AS cls
     FROM sccs s
 """
+
+# Co-citation: same distinct-edge self-join on the shared source as
+# operators/cocitation.py (pair order a < b, count of common sources).
+_COCITATION_SQL = """
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM ({web_edges}) we)
+    SELECT x.dst AS a, y.dst AS b, count(*) AS n_common
+    FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+    GROUP BY 1, 2
+"""
+
+
+def _walks_sql(web_edges: str, length: int = 4) -> str:
+    """Unrolled replay of operators/walks.py: step t picks
+    min_by(dst, score(dst, v, t)) — the same injective arithmetic rule,
+    so the walks are identical step by step."""
+    steps = []
+    for t in range(1, length + 1):
+        score = (
+            f"(1103515245 * ((e.dst + 12345 * (s{t - 1}.v + {31 * t}))"
+            " % 2147483647)) % 2147483647"
+        )
+        steps.append(
+            f"s{t} AS (SELECT walk_id, min_by(e.dst, {score}) AS v "
+            f"FROM s{t - 1} JOIN e ON s{t - 1}.v = e.src GROUP BY walk_id)"
+        )
+    unions = "\n    UNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, v FROM s{t}" for t in range(length + 1)
+    )
+    return (
+        "WITH e AS MATERIALIZED (SELECT DISTINCT src, dst "
+        f"FROM ({web_edges}) we),\n"
+        "s0 AS (SELECT doc_id AS walk_id, doc_id AS v FROM documents "
+        "WHERE doc_id % 49 = 1),\n"
+        + ",\n".join(steps)
+        + "\n    "
+        + unions
+    )
+
+
+# Sessionization: identical rule to streaming/sessions.py
+# sessionize_batch — truncated-second timestamps (Spark unix_timestamp
+# floors; epoch() keeps ms, so floor() before casting), 1800 s gap,
+# (ts, event_id) ordering.
+_SESSION_SPANS_SQL = """
+    WITH ev AS (
+        SELECT user_id, floor(epoch(ts))::BIGINT AS ts_s, event_id
+        FROM events),
+    m AS (
+        SELECT user_id, ts_s, event_id,
+               CASE WHEN lag(ts_s) OVER w IS NULL
+                         OR ts_s - lag(ts_s) OVER w > 1800
+                    THEN 1 ELSE 0 END AS is_start
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+    g AS (
+        SELECT user_id, ts_s,
+               sum(is_start) OVER (PARTITION BY user_id
+                                   ORDER BY ts_s, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM m)
+    SELECT user_id, min(ts_s) AS session_start, max(ts_s) AS session_end,
+           count(*) AS n_events
+    FROM g GROUP BY user_id, session_no
+"""
+
+# Term analytics: single-space tokenization (empty tokens dropped),
+# exactly functions/terms.py.
+_TOKENS_SQL = """
+    tok AS (
+        SELECT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)
+        WHERE term <> '')
+"""
+
+_TERM_TOPK_SQL = (
+    "WITH "
+    + _TOKENS_SQL
+    + """,
+    per AS (SELECT doc_id, term, count(*) AS tf_d FROM tok GROUP BY 1, 2),
+    stats AS (SELECT term, sum(tf_d)::BIGINT AS tf, count(*) AS df
+              FROM per GROUP BY term)
+    SELECT term, tf, df FROM stats ORDER BY tf DESC, term ASC LIMIT 50
+"""
+)
+
+_TFIDF_SQL = (
+    "WITH "
+    + _TOKENS_SQL
+    + """,
+    per AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfv AS (SELECT term, count(*) AS df FROM per GROUP BY term),
+    scored AS (
+        SELECT p.doc_id, p.term, p.tf, d.df,
+               p.tf * ln((SELECT count(*) FROM documents)::DOUBLE / d.df)
+                   AS tfidf
+        FROM per p JOIN dfv d USING (term)),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC)
+                  AS term_rank
+        FROM scored)
+    SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, term_rank
+    FROM ranked WHERE term_rank <= 3
+"""
+)
 
 # Reciprocity / assortativity over the distinct non-loop web edge set —
 # same distinct + degree-join logic as operators/graphstats.py; all
@@ -1700,6 +1865,11 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT id, round(rank, 6) AS rank FROM final",
         "web_scc": _SCC_SQL.format(web_edges=_WEB_EDGES_SQL),
         "web_bowtie": _BOWTIE_SQL.format(web_edges=_WEB_EDGES_SQL),
+        "web_cocitation": _COCITATION_SQL.format(web_edges=_WEB_EDGES_SQL),
+        "web_walks": _walks_sql(_WEB_EDGES_SQL, length=4),
+        "session_spans": _SESSION_SPANS_SQL,
+        "term_topk": _TERM_TOPK_SQL,
+        "tfidf_topk": _TFIDF_SQL,
         "graph_reciprocity": _RECIPROCITY_SQL.format(web_edges=_WEB_EDGES_SQL),
         "degree_assortativity": _ASSORTATIVITY_SQL.format(
             web_edges=_WEB_EDGES_SQL

@@ -1,0 +1,90 @@
+"""Corpus term analytics: heavy hitters and TF-IDF.
+[north_rule extension — no reference code; dxa-pageRank has no text
+operators at all (SURVEY.md §2.1: string functions limited to split)]
+
+Training-data curation over a web corpus needs vocabulary-level
+signals: corpus-wide heavy hitters (boilerplate detection, stopword
+discovery) and per-document salient terms (TF-IDF — topic tagging,
+quality filtering). Both are pure JVM column programs:
+
+  tokens  = explode(split(text, ' '))           -- no Python, codegen
+  tf      = groupBy(doc, term).count()          -- map-side combine
+  df      = tf.groupBy(term).count()            -- tiny (vocabulary)
+  tfidf   = tf * ln(N / df)                     -- broadcast df join
+
+100-TB shape: the only large shuffle is groupBy(doc_id, term) over the
+exploded tokens; everything after operates on the vocabulary (orders of
+magnitude smaller) or per-doc top-k (window over doc_id partitions,
+rank pushed into the sort via WindowGroupLimit). The df table is
+broadcast into the tf join. Top-k over the corpus is orderBy+limit =
+TakeOrderedAndProject (per-partition heaps, no global sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tokens(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """-> (doc_id, term): one row per token occurrence, split on single
+    spaces (the corpus tokenization rule; empty tokens dropped)."""
+    return documents.select(
+        "doc_id",
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+
+
+def term_topk(
+    documents: DataFrame, k: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Corpus heavy hitters -> (term, tf, df) — top-k terms by total
+    occurrence count, ties broken by term asc. tf = total occurrences,
+    df = number of distinct documents containing the term."""
+    t = tokens(documents, text_col)
+    per_doc = t.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf_d")
+    )
+    stats = per_doc.groupBy("term").agg(
+        F.sum("tf_d").alias("tf"), F.count(F.lit(1)).alias("df")
+    )
+    return stats.orderBy(F.desc("tf"), F.asc("term")).limit(k)
+
+
+def tfidf_topk(
+    documents: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF -> (doc_id, term, tf, df,
+    tfidf, term_rank).
+
+    tfidf = tf(term, doc) * ln(N / df(term)) with N = corpus size.
+    Ordering within a doc: tfidf desc, term asc — exact ties in tfidf
+    can only come from equal (tf, df) pairs (integer inputs), where
+    both engines compute the identical double, so the rank (and hence
+    the row set) is engine-independent.
+    """
+    n_docs = documents.count()
+    t = tokens(documents, text_col)
+    per_doc = t.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_tbl = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = per_doc.join(F.broadcast(df_tbl), "term").withColumn(
+        "tfidf",
+        F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round("tfidf", 6).alias("tfidf"),
+            "term_rank",
+        )
+    )

@@ -1,0 +1,133 @@
+"""Stateful streaming sessionization == batch sessionization.
+
+The stream is fed the sf0.001 events parquet one file-chunk at a time;
+a far-future sentinel event (dummy user) advances the global watermark
+so every real session's event-time timeout fires, then stream output is
+compared row-for-row with sessionize_batch on the same input.
+"""
+
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from dxa_pagerank_spark.streaming.sessions import (
+    GAP_S,
+    sessionize_batch,
+    sessionize_stream,
+)
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+SENTINEL_USER = -999
+
+
+def _python_sessions(rows, gap_s=GAP_S):
+    """Oracle: fold sorted (user, ts) into gap-delimited sessions."""
+    by_user = {}
+    for u, t in rows:
+        by_user.setdefault(u, []).append(t)
+    out = set()
+    for u, ts in by_user.items():
+        ts.sort()
+        start = last = ts[0]
+        n = 0
+        for t in ts:
+            if t - last > gap_s:
+                out.add((u, start, last, n))
+                start, n = t, 0
+            last = t
+            n += 1
+        out.add((u, start, last, n))
+    return out
+
+
+def test_batch_sessionize_matches_python_oracle(spark):
+    ev = spark.read.parquet(EVENTS)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_batch(ev).collect()
+    }
+    rows = [
+        (r["user_id"], int(r["ts"].timestamp()))
+        for r in ev.select("user_id", "ts").collect()
+    ]
+    assert got == _python_sessions(rows)
+
+
+def test_stream_sessions_equal_batch(spark, tmp_path):
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    shutil.copy(EVENTS, os.path.join(src, "part-000.parquet"))
+
+    ev_batch = spark.read.parquet(EVENTS)
+    schema_ddl = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(ev_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        # watermarks require TIMESTAMP; the parquet fixture is NTZ
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out_name = "sessions_out"
+    q = (
+        sessionize_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(out_name)
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # sentinel events (dummy user, far future) push the watermark
+        # past every real session's last_ts + gap; two files so the
+        # second microbatch runs with the advanced watermark and fires
+        # the event-time timeouts.
+        max_ts = ev_batch.agg(F.max("ts")).collect()[0][0]
+        for i in range(2):
+            spark.createDataFrame(
+                [
+                    (
+                        10_000_000 + i,
+                        max_ts + __import__("datetime").timedelta(days=2 + i),
+                        SENTINEL_USER,
+                        "sentinel",
+                        0.0,
+                        "{}",
+                    )
+                ],
+                schema_ddl,
+            ).write.mode("overwrite").parquet(
+                str(tmp_path / f"sentinel{i}")
+            )
+            shutil.copy(
+                str(tmp_path / f"sentinel{i}")
+                + "/"
+                + [
+                    f
+                    for f in os.listdir(str(tmp_path / f"sentinel{i}"))
+                    if f.endswith(".parquet")
+                ][0],
+                os.path.join(src, f"part-00{i + 1}.parquet"),
+            )
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql(f"SELECT * FROM {out_name}").collect()
+        if r["user_id"] != SENTINEL_USER
+    }
+    exp = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_batch(ev_batch).collect()
+    }
+    assert got == exp

@@ -699,6 +699,21 @@ def q_web_walks(spark, sf_dir):
     return random_walks(_web_edges(spark, sf_dir), seeds, length=4)
 
 
+def q_web_bfs_levels(spark, sf_dir):
+    """Multi-source BFS hop distances from every 100th page over the
+    link graph (operators/bfs.py — the Broder-style web distance
+    statistic; crawl-depth audit primitive). The oracle is the
+    recursive-CTE min-distance closure with the same depth cap."""
+    from dxa_pagerank_spark.operators.bfs import bfs_levels
+
+    seeds = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 100 == 1)
+        .select(F.col("doc_id").alias("id"))
+    )
+    return bfs_levels(_web_edges(spark, sf_dir), seeds, max_depth=12)
+
+
 def q_graph_reciprocity(spark, sf_dir):
     """Reciprocity of the page link graph: share of distinct non-loop
     edges whose reverse edge exists (operators/graphstats.py). The
@@ -766,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_bowtie": q_web_bowtie,
         "web_cocitation": q_web_cocitation,
         "web_walks": q_web_walks,
+        "web_bfs_levels": q_web_bfs_levels,
         "graph_reciprocity": q_graph_reciprocity,
         "degree_assortativity": q_degree_assortativity,
         "corpus_curation": q_corpus_curation,
@@ -1183,6 +1199,20 @@ _BOWTIE_SQL = _SCC_CLOSURE_SQL + """,
                 WHEN s.id IN (SELECT id FROM fwd) THEN 'out'
                 ELSE 'other' END AS cls
     FROM sccs s
+"""
+
+# BFS: recursive min-distance closure, identical seed rule and depth
+# cap as operators/bfs.py (UNION dedups (id, dist) states, so the
+# recursion is bounded by N x max_depth).
+_BFS_SQL = """
+    WITH RECURSIVE e AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM ({web_edges}) we),
+    lvl AS (
+        SELECT doc_id AS id, 0 AS dist FROM documents WHERE doc_id % 100 = 1
+        UNION
+        SELECT e.dst, lvl.dist + 1 FROM lvl JOIN e ON lvl.id = e.src
+        WHERE lvl.dist < 12)
+    SELECT id, min(dist) AS dist FROM lvl GROUP BY id
 """
 
 # Co-citation: same distinct-edge self-join on the shared source as
@@ -1867,6 +1897,7 @@ def oracle_sql() -> dict[str, str]:
         "web_bowtie": _BOWTIE_SQL.format(web_edges=_WEB_EDGES_SQL),
         "web_cocitation": _COCITATION_SQL.format(web_edges=_WEB_EDGES_SQL),
         "web_walks": _walks_sql(_WEB_EDGES_SQL, length=4),
+        "web_bfs_levels": _BFS_SQL.format(web_edges=_WEB_EDGES_SQL),
         "session_spans": _SESSION_SPANS_SQL,
         "term_topk": _TERM_TOPK_SQL,
         "tfidf_topk": _TFIDF_SQL,

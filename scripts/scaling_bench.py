@@ -247,12 +247,13 @@ Two input scales, both seeded and deterministic:
   at its exact scale (2 slaves, locality 0.8, meanInDeg 6), generated
   by the vectorized java.util.Random replay (datagen_parity) — the
   matched-scale throughput comparison vs the reference's 8.4e5 edges/s.
-* **N={big_n:,}** — the scaling-measurement scale. This box adds a
-  fixed ~0.3-0.45s per Spark job (task scheduling + Python round-trip,
-  measured with noop 32-task jobs); at N=1e7 a 32-core superstep is
-  mostly that floor, at N={big_n:,} compute dominates — the regime a
-  100-TB deployment actually runs in, and the honest scale at which to
-  evidence the >= 0.8 N->4N criterion.
+* **N={big_n:,}** — the scaling-measurement scale. This box charges a
+  fixed ~0.1s per barrier superstep (scheduling + barrier sync +
+  Python round-trip; ~0.3-0.45s for ordinary multi-job rounds); at
+  N=1e7 a 32-core csr superstep is mostly that floor, at N={big_n:,}
+  compute dominates — the regime a 100-TB deployment actually runs
+  in, and the honest scale at which to evidence the >= 0.8 N->4N
+  criterion.
 
 **Two estimators are reported.** This sandbox host is shared: the
 *median* is the typical observed round; the *minimum* is the
@@ -288,15 +289,39 @@ is local[8] -> local[32]; 2 -> 8 is reported as supplementary context.
 
 Reading these numbers honestly:
 
-* The per-job floor (~0.3-0.45s: Spark task machinery + Python worker
-  round-trip, constant in N) is an artifact of superstep granularity,
-  not of the dataflow: it amortizes linearly with input size. That is
-  why the 8->32 pair is reported at N={big_n:,} as the headline
-  criterion scale, with N=1e7 shown for continuity with the baseline
-  comparison.
-* This box is shared and the 8->32 pair saturates one socket's memory
-  subsystem — a real cluster adds memory bandwidth and untouched cores
-  with every node. Both pairs, both estimators, raw rounds below.
+* **The specified 8 -> 32 pair does not reach 0.8 on this box at
+  either input scale.** Two measured causes, both properties of one
+  shared box rather than of the dataflow: (1) at N=1e7 a 32-core csr
+  round (~0.11 s) is mostly the fixed per-job cost (Spark scheduling +
+  barrier sync + Python round-trip, constant in N — it amortizes
+  linearly with input size); (2) at N={big_n:,} the gather's random
+  reads into the in-memory rank vector saturate one socket's memory
+  bandwidth once ~8 cores are active, so 24 additional threads on the
+  SAME socket add little — where a real N -> 4N cluster adds memory
+  bandwidth and scheduler-independent executors with every node.
+* **Supplementary 2 -> 8 pair (cores still bandwidth-proportional):
+  the csr loop exceeds 0.8 on both estimators at the reference's own
+  scale** (see the efficiency table) — evidence that the dataflow
+  itself scales when added cores bring proportional resources.
+* **The df loop's cross-session variance is larger than its scaling
+  signal on this box.** In each df session one leg ran degraded
+  (multi-x slower rounds — single-JVM GC + per-round localCheckpoint
+  churn under 32 task threads), which produces nonsense same-session
+  pairs in BOTH directions (a 0.16 and a 1.42 both appear above). The
+  un-degraded legs across sessions (df local[2] ~31-35 s min, local[8]
+  ~11.4 s, local[32] ~4.4 s) imply ~0.6-0.75 at both pairs —
+  consistent with round 1's measured 0.62-0.68 — but per the
+  same-session rule those cross-session ratios are context, not
+  evidence.
+* A 2-core leg at N=1e8 was measured and is excluded from the
+  efficiency table: its per-core working set (a ~2.2 GB gather temp
+  per 275M-edge partition) thrashes (47.8 s min/71.2 s med rounds,
+  11.5M edges/s min) and would yield an absurd superlinear 2 -> 8
+  "efficiency" of ~3.9 — reporting it would flatter the scaling claim
+  dishonestly.
+* Every efficiency ratio pairs two rows of the same contiguous session
+  (tagged; raw JSONL per session under bench_runs/); nothing is
+  redefined to make the criterion pass.
 
 ## vs the reference baseline
 
@@ -312,7 +337,7 @@ Raw per-round ms:
 
 Reproduce: `python scripts/scaling_bench.py`
 (env: SCALING_N, SCALING_ROUNDS, SCALING_CORES, SCALING_LOOPS), then
-`python scripts/scaling_bench.py --report runA.jsonl runB.jsonl`.
+`python scripts/scaling_bench.py --report bench_runs/*.jsonl`.
 """)
     print("wrote BENCH.md")
 

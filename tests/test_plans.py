@@ -147,3 +147,33 @@ def test_site_rollup_and_weighted_gather_jvm_only(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_term_topk_plans(spark):
+    """Corpus top-k = TakeOrdered (per-partition heaps, no global
+    sort); per-doc top-k gets the rank cut pushed below the window
+    sort (WindowGroupLimit); both stay JVM-only."""
+    from dxa_pagerank_spark.functions.terms import term_topk, tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "b c d")], "doc_id long, text string"
+    )
+    corpus = _plan(term_topk(docs, k=5))
+    assert "TakeOrdered" in corpus
+    assert "BatchEvalPython" not in corpus
+    perdoc = _plan(tfidf_topk(docs, k=2))
+    assert "WindowGroupLimit" in perdoc
+    assert "BatchEvalPython" not in perdoc
+    assert "BroadcastHashJoin" in perdoc  # df table joins broadcast
+
+
+def test_walks_and_bfs_jvm_only(spark):
+    from dxa_pagerank_spark.operators.bfs import bfs_levels
+    from dxa_pagerank_spark.operators.walks import random_walks
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    s = spark.createDataFrame([(0,)], "id long")
+    for df in (random_walks(e, s, length=2), bfs_levels(e, s, max_depth=2)):
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan

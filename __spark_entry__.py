@@ -714,6 +714,15 @@ def q_web_bfs_levels(spark, sf_dir):
     return bfs_levels(_web_edges(spark, sf_dir), seeds, max_depth=12)
 
 
+def q_web_distance_histogram(spark, sf_dir):
+    """Hop-count distribution from the BFS seed set (operators/bfs.py
+    distance_histogram over q_web_bfs_levels) — the Broder
+    'average distance' summary statistic."""
+    from dxa_pagerank_spark.operators.bfs import distance_histogram
+
+    return distance_histogram(q_web_bfs_levels(spark, sf_dir))
+
+
 def q_graph_reciprocity(spark, sf_dir):
     """Reciprocity of the page link graph: share of distinct non-loop
     edges whose reverse edge exists (operators/graphstats.py). The
@@ -782,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_cocitation": q_web_cocitation,
         "web_walks": q_web_walks,
         "web_bfs_levels": q_web_bfs_levels,
+        "web_distance_histogram": q_web_distance_histogram,
         "graph_reciprocity": q_graph_reciprocity,
         "degree_assortativity": q_degree_assortativity,
         "corpus_curation": q_corpus_curation,
@@ -1898,6 +1908,11 @@ def oracle_sql() -> dict[str, str]:
         "web_cocitation": _COCITATION_SQL.format(web_edges=_WEB_EDGES_SQL),
         "web_walks": _walks_sql(_WEB_EDGES_SQL, length=4),
         "web_bfs_levels": _BFS_SQL.format(web_edges=_WEB_EDGES_SQL),
+        "web_distance_histogram": (
+            "WITH levels AS ("
+            + _BFS_SQL.format(web_edges=_WEB_EDGES_SQL)
+            + ") SELECT dist, count(*) AS n_vertices FROM levels GROUP BY dist"
+        ),
         "session_spans": _SESSION_SPANS_SQL,
         "term_topk": _TERM_TOPK_SQL,
         "tfidf_topk": _TFIDF_SQL,

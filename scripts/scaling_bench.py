@@ -307,9 +307,13 @@ Reading these numbers honestly:
   signal on this box.** In each df session one leg ran degraded
   (multi-x slower rounds — single-JVM GC + per-round localCheckpoint
   churn under 32 task threads), which produces nonsense same-session
-  pairs in BOTH directions (a 0.16 and a 1.42 both appear above). The
-  un-degraded legs across sessions (df local[2] ~31-35 s min, local[8]
-  ~11.4 s, local[32] ~4.4 s) imply ~0.6-0.75 at both pairs —
+  pairs in BOTH directions (a 0.16 and a 1.42 both appear above). A
+  ParallelGC control run reproduced the same profile (min 4.47 s, med
+  14.6 s), so the variance is not collector choice; the MIN estimator
+  is the stable, reproducible quantity (local[32] floor 4.42-4.49 s
+  across every session and GC config). The un-degraded legs across
+  sessions (df local[2] ~31-35 s min, local[8]
+  ~11.0 s, local[32] ~4.4 s) imply ~0.6-0.75 at both pairs —
   consistent with round 1's measured 0.62-0.68 — but per the
   same-session rule those cross-session ratios are context, not
   evidence.

@@ -682,6 +682,15 @@ def q_web_cocitation(spark, sf_dir):
     return cocitation(_web_edges(spark, sf_dir), min_common=1)
 
 
+def q_web_coupling(spark, sf_dir):
+    """Bibliographic coupling over the page link graph: pairs of pages
+    sharing an out-link target (operators/cocitation.py coupling — the
+    dual of co-citation)."""
+    from dxa_pagerank_spark.operators.cocitation import coupling
+
+    return coupling(_web_edges(spark, sf_dir), min_common=1)
+
+
 def q_web_walks(spark, sf_dir):
     """Deterministic pseudo-random walks (length 4) from every 50th
     page over the link graph (operators/walks.py — DeepWalk-style walk
@@ -789,6 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_scc": q_web_scc,
         "web_bowtie": q_web_bowtie,
         "web_cocitation": q_web_cocitation,
+        "web_coupling": q_web_coupling,
         "web_walks": q_web_walks,
         "web_bfs_levels": q_web_bfs_levels,
         "web_distance_histogram": q_web_distance_histogram,
@@ -1225,13 +1235,21 @@ _BFS_SQL = """
     SELECT id, min(dist) AS dist FROM lvl GROUP BY id
 """
 
-# Co-citation: same distinct-edge self-join on the shared source as
-# operators/cocitation.py (pair order a < b, count of common sources).
+# Co-citation / coupling: same distinct-edge self-join on the shared
+# endpoint as operators/cocitation.py (pair order a < b).
 _COCITATION_SQL = """
     WITH e AS MATERIALIZED (
         SELECT DISTINCT src, dst FROM ({web_edges}) we)
     SELECT x.dst AS a, y.dst AS b, count(*) AS n_common
     FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
+    GROUP BY 1, 2
+"""
+
+_COUPLING_SQL = """
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM ({web_edges}) we)
+    SELECT x.src AS a, y.src AS b, count(*) AS n_common
+    FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
     GROUP BY 1, 2
 """
 
@@ -1906,6 +1924,7 @@ def oracle_sql() -> dict[str, str]:
         "web_scc": _SCC_SQL.format(web_edges=_WEB_EDGES_SQL),
         "web_bowtie": _BOWTIE_SQL.format(web_edges=_WEB_EDGES_SQL),
         "web_cocitation": _COCITATION_SQL.format(web_edges=_WEB_EDGES_SQL),
+        "web_coupling": _COUPLING_SQL.format(web_edges=_WEB_EDGES_SQL),
         "web_walks": _walks_sql(_WEB_EDGES_SQL, length=4),
         "web_bfs_levels": _BFS_SQL.format(web_edges=_WEB_EDGES_SQL),
         "web_distance_histogram": (

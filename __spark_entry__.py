@@ -363,10 +363,14 @@ def q_ann_topk_lsh(spark, sf_dir):
 
 
 def q_minhash_dedup(spark, sf_dir):
+    """Verified near-dup pairs; candidates run through the capped
+    bucket path (star_threshold=64), so no uncapped bucket self-join is
+    reachable — identical output below the cap, hence the exact
+    all-pairs SQL oracle still matches."""
     from dxa_pagerank_spark.functions.dedup import minhash_dedup_pairs
 
     return minhash_dedup_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.8
+        _t(spark, sf_dir, "documents"), threshold=0.8, star_threshold=64
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -530,6 +534,18 @@ def q_k_core_3(spark, sf_dir):
     return k_core(spark, _edges(spark, sf_dir), k=3)
 
 
+def q_k_truss_4(spark, sf_dir):
+    """4-truss of the undirected simple graph (operators/ktruss.py):
+    the surviving edges where each closes >= 2 triangles of the
+    surviving subgraph. Engine peels to a fixpoint; the oracle unrolls
+    peel rounds with slack (the peel map is idempotent at the
+    fixpoint, same trick as the k_core_3 oracle). Measured peeling
+    depth at sf0.01 is 6; the oracle unrolls 12."""
+    from dxa_pagerank_spark.operators.ktruss import k_truss
+
+    return k_truss(spark, _edges(spark, sf_dir), k=4)
+
+
 def q_ppr_5rounds(spark, sf_dir):
     """Personalized PageRank, 5 rounds, teleport to the 3 highest-out-
     degree vertices (ties by min id) — seeds derived by the same rule
@@ -672,23 +688,37 @@ def q_web_bowtie(spark, sf_dir):
     return bowtie_classes(spark, _web_edges(spark, sf_dir), vertices=docs)
 
 
+# Hub-degree cap for the pair-generating queries (VERDICT r02 #4): a
+# shared endpoint of degree d emits d*(d-1)/2 pair rows, so one nav-bar
+# hub makes the output quadratic at crawl scale. The cap is applied
+# BEFORE the self-join (semi-join against the degree table) and is
+# mirrored as a HAVING clause in the SQL oracles.
+_PAIR_DEGREE_CAP = 64
+
+
 def q_web_cocitation(spark, sf_dir):
     """Co-citation relatedness over the page link graph: pairs of
     pages sharing an in-linker, with the shared-source count
-    (operators/cocitation.py — the 'related pages' primitive). The
-    oracle is the same distinct-edge self-join in SQL."""
+    (operators/cocitation.py — the 'related pages' primitive), sources
+    with out-degree > _PAIR_DEGREE_CAP dropped pre-join. The oracle is
+    the same capped distinct-edge self-join in SQL."""
     from dxa_pagerank_spark.operators.cocitation import cocitation
 
-    return cocitation(_web_edges(spark, sf_dir), min_common=1)
+    return cocitation(
+        _web_edges(spark, sf_dir), min_common=1, max_degree=_PAIR_DEGREE_CAP
+    )
 
 
 def q_web_coupling(spark, sf_dir):
     """Bibliographic coupling over the page link graph: pairs of pages
     sharing an out-link target (operators/cocitation.py coupling — the
-    dual of co-citation)."""
+    dual of co-citation), targets with in-degree > _PAIR_DEGREE_CAP
+    dropped pre-join."""
     from dxa_pagerank_spark.operators.cocitation import coupling
 
-    return coupling(_web_edges(spark, sf_dir), min_common=1)
+    return coupling(
+        _web_edges(spark, sf_dir), min_common=1, max_degree=_PAIR_DEGREE_CAP
+    )
 
 
 def q_web_walks(spark, sf_dir):
@@ -821,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_summary": q_graph_summary,
         "hits_5rounds": q_hits_5rounds,
         "k_core_3": q_k_core_3,
+        "k_truss_4": q_k_truss_4,
         "ppr_5rounds": q_ppr_5rounds,
         "tpch_q1ish": q_tpch_q1ish,
         "supplier_revenue": q_supplier_revenue,
@@ -955,6 +986,41 @@ def _kcore_sql(k: int, rounds: int) -> str:
         f" WHERE s.u IN (SELECT id FROM al{rounds})"
         f" AND s.v IN (SELECT id FROM al{rounds}) GROUP BY s.u)"
     )
+    return ",\n".join(parts) + "\n"
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Unrolled k-truss peeling (operators/ktruss.py semantics:
+    undirected simple graph, support = triangles per edge in the
+    surviving subgraph, keep support >= k-2). Triangle enumeration
+    here orders vertices numerically (a < b < c) — the triangle SET
+    (and hence per-edge support) is identical to the engine's
+    (deg,id)-oriented enumeration. Extra rounds past the fixpoint are
+    idempotent. Defines e{rounds}(u, v)."""
+    need = k - 2
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGES_SQL})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u,"
+        " greatest(src, dst) AS v FROM edges WHERE src <> dst)",
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"tri{i} AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c"
+            f" FROM e{p} e1 JOIN e{p} e2 ON e1.v = e2.u AND e1.u < e2.v"
+            f" JOIN e{p} e3 ON e3.u = e1.u AND e3.v = e2.v)"
+        )
+        parts.append(
+            f"sup{i} AS MATERIALIZED (SELECT u, v, count(*) AS sup FROM ("
+            f"SELECT a AS u, b AS v FROM tri{i}"
+            f" UNION ALL SELECT a, c FROM tri{i}"
+            f" UNION ALL SELECT b, c FROM tri{i}) t GROUP BY u, v)"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT e.u, e.v FROM e{p} e"
+            f" LEFT JOIN sup{i} s USING (u, v)"
+            f" WHERE coalesce(s.sup, 0) >= {need})"
+        )
     return ",\n".join(parts) + "\n"
 
 
@@ -1235,19 +1301,27 @@ _BFS_SQL = """
     SELECT id, min(dist) AS dist FROM lvl GROUP BY id
 """
 
-# Co-citation / coupling: same distinct-edge self-join on the shared
-# endpoint as operators/cocitation.py (pair order a < b).
+# Co-citation / coupling: same capped distinct-edge self-join on the
+# shared endpoint as operators/cocitation.py (pair order a < b; shared
+# endpoints of degree > {cap} dropped before pairing, mirroring the
+# engine's max_degree semi-join).
 _COCITATION_SQL = """
-    WITH e AS MATERIALIZED (
-        SELECT DISTINCT src, dst FROM ({web_edges}) we)
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM ({web_edges}) we),
+    keep AS (SELECT src FROM e0 GROUP BY src HAVING count(*) <= {cap}),
+    e AS MATERIALIZED (
+        SELECT e0.src, e0.dst FROM e0 JOIN keep USING (src))
     SELECT x.dst AS a, y.dst AS b, count(*) AS n_common
     FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst
     GROUP BY 1, 2
 """
 
 _COUPLING_SQL = """
-    WITH e AS MATERIALIZED (
-        SELECT DISTINCT src, dst FROM ({web_edges}) we)
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM ({web_edges}) we),
+    keep AS (SELECT dst FROM e0 GROUP BY dst HAVING count(*) <= {cap}),
+    e AS MATERIALIZED (
+        SELECT e0.src, e0.dst FROM e0 JOIN keep USING (dst))
     SELECT x.src AS a, y.src AS b, count(*) AS n_common
     FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
     GROUP BY 1, 2
@@ -1572,6 +1646,8 @@ def oracle_sql() -> dict[str, str]:
         # 24 unrolled peels >> observed peeling depth at sf0.01 (4); the
         # peel map is idempotent at the fixpoint, so slack is harmless
         "k_core_3": _kcore_sql(3, 24) + "SELECT id, degree FROM core",
+        # 12 unrolled peels >> measured peeling depth at sf0.01 (6)
+        "k_truss_4": _ktruss_sql(4, 12) + "SELECT u, v FROM e12",
         "ppr_5rounds": _ppr_rounds_sql(5)
         + "SELECT id, round(rank, 6) AS rank FROM p5",
         "top20_pagerank": _PAGERANK_PRELUDE
@@ -1923,8 +1999,12 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT id, round(rank, 6) AS rank FROM final",
         "web_scc": _SCC_SQL.format(web_edges=_WEB_EDGES_SQL),
         "web_bowtie": _BOWTIE_SQL.format(web_edges=_WEB_EDGES_SQL),
-        "web_cocitation": _COCITATION_SQL.format(web_edges=_WEB_EDGES_SQL),
-        "web_coupling": _COUPLING_SQL.format(web_edges=_WEB_EDGES_SQL),
+        "web_cocitation": _COCITATION_SQL.format(
+            web_edges=_WEB_EDGES_SQL, cap=_PAIR_DEGREE_CAP
+        ),
+        "web_coupling": _COUPLING_SQL.format(
+            web_edges=_WEB_EDGES_SQL, cap=_PAIR_DEGREE_CAP
+        ),
         "web_walks": _walks_sql(_WEB_EDGES_SQL, length=4),
         "web_bfs_levels": _BFS_SQL.format(web_edges=_WEB_EDGES_SQL),
         "web_distance_histogram": (

@@ -361,12 +361,25 @@ def minhash_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    star_threshold: int | None = 64,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline -> verified (doc_a, doc_b,
-    jaccard) pairs at >= threshold."""
+    jaccard) pairs at >= threshold.
+
+    Candidates go through the capped bucket path by default
+    (star_threshold members max per all-pairs bucket, star edges
+    above), so a hash-collision mega-bucket can never go quadratic;
+    below the cap the output is identical to the uncapped self-join.
+    Pass star_threshold=None for the exact uncapped candidate set
+    (oracle/debug use only — inherently O(bucket^2))."""
     sh = shingles(documents, id_col, text_col, n).persist()
     sigs = minhash_signatures(sh, num_hashes)
-    cands = lsh_candidates(sigs, bands, num_hashes // bands)
+    if star_threshold is None:
+        cands = lsh_candidates(sigs, bands, num_hashes // bands)
+    else:
+        cands = lsh_candidate_edges_capped(
+            sigs, bands, num_hashes // bands, star_threshold
+        )
     return jaccard_verify(sh, cands, threshold)
 
 

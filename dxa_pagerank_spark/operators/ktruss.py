@@ -53,15 +53,15 @@ def _triangles(und: DataFrame) -> DataFrame:
         F.col("e1.dst").alias("y"),
         F.col("e2.dst").alias("z"),
     )
-    return wedges.join(
-        e3,
-        (
-            (F.col("y") == F.col("e3.src")) & (F.col("z") == F.col("e3.dst"))
-        )
-        | (
-            (F.col("z") == F.col("e3.src")) & (F.col("y") == F.col("e3.dst"))
-        ),
-    ).select("x", "y", "z")
+    # Closing edge can ONLY be y->z in oriented form: the wedge join
+    # emits (y, z) in (deg,id)-orientation order, and every oriented
+    # edge runs from the (deg,id)-smaller endpoint to the larger, so
+    # z->y never exists.  A plain equi-join (hash/sort-merge) — an
+    # OR-of-conjunctions here has no extractable equi-keys and Catalyst
+    # would plan a CartesianProduct (O(wedges x edges)).  Mirrors
+    # triangles.py's closing join.
+    closing = e3.select(F.col("src").alias("y"), F.col("dst").alias("z"))
+    return wedges.join(closing, ["y", "z"], "inner").select("x", "y", "z")
 
 
 def k_truss(

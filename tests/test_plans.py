@@ -167,6 +167,23 @@ def test_term_topk_plans(spark):
     assert "BroadcastHashJoin" in perdoc  # df table joins broadcast
 
 
+def test_ktruss_closing_join_is_equi_join(spark):
+    """VERDICT r02 #1: the triangle-closing join in the k-truss peel
+    must plan as a hash/sort-merge equi-join on (y, z) — never a
+    CartesianProduct or BroadcastNestedLoopJoin (an OR-of-conjunctions
+    condition has no extractable equi-keys and goes cartesian)."""
+    from dxa_pagerank_spark.operators.ktruss import _triangles
+
+    src, dst = fast_synthetic_edges(2000, 4, seed=5)
+    edges = edges_to_spark(spark, src, dst)
+    tri = _triangles(edges)
+    plan = _plan(tri)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 def test_walks_and_bfs_jvm_only(spark):
     from dxa_pagerank_spark.operators.bfs import bfs_levels
     from dxa_pagerank_spark.operators.walks import random_walks

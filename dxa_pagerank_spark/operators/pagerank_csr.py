@@ -88,6 +88,16 @@ def pagerank_csr(
     """
     if exchange == "auto":
         exchange = "shm" if _shm_available(spark) else "broadcast"
+        # shm runs as a barrier gang: all num_partitions tasks must be
+        # co-resident. In auto mode an oversized partition count falls
+        # back to the broadcast exchange (correct at any partition
+        # count); the hard error is reserved for explicit "shm".
+        if (
+            exchange == "shm"
+            and num_partitions is not None
+            and num_partitions > spark.sparkContext.defaultParallelism
+        ):
+            exchange = "broadcast"
     try:
         old_batch = spark.conf.get(_ARROW_BATCH_CONF)
     except Exception:
@@ -235,7 +245,10 @@ def _pagerank_csr_shm(
                 continue
             pid = r["part"]
             srcs = np.load(blk(pid, "src"), mmap_mode="r")
-            out_deg += np.bincount(srcs, minlength=n)
+            # accumulate into the ONE buffer: bincount would allocate a
+            # fresh n-width array per partition (P x 800 MB of driver
+            # allocations at n=1e8); ufunc.at is in-place
+            np.add.at(out_deg, srcs, 1.0)
             covered[np.load(blk(pid, "uq"))] = True
         nd = out_deg > 0
         invd = np.zeros(n)
@@ -289,6 +302,28 @@ def _pagerank_csr_shm(
 
             ctx = BarrierTaskContext.get()
             pid = ctx.partitionId()
+            # A failed barrier stage is retried WHOLE by Spark, but the
+            # retry reuses this workdir: ranks_0/ranks_1 hold
+            # mid-iteration state and sync/r{round}_p{pid} files from
+            # the failed attempt still exist, so a silent retry would
+            # compute wrong ranks from corrupted buffers. Detect any
+            # re-execution via an exclusive-create sentinel (PySpark
+            # exposes no stageAttemptNumber, and task attemptNumber
+            # resets to 0 on a stage resubmit) and fail loudly — the
+            # caller reruns pagerank_csr (setup rebuilds a fresh
+            # workdir) or falls back to the df loop.
+            try:
+                with open(
+                    os.path.join(wd, f"attempt_p{pid}"), "x"
+                ) as sf:
+                    sf.write(str(ctx.taskAttemptId()))
+            except FileExistsError:
+                raise RuntimeError(
+                    "pagerank_csr shm loop cannot be retried in place: "
+                    f"partition {pid} already ran in this workdir and "
+                    "would reuse mid-iteration rank buffers and stale "
+                    "sync files; rerun the job (fresh workdir) instead"
+                ) from None
 
             def sync_scalars(r, err_p, sum_p, timeout=600.0):
                 mine = os.path.join(wd, "sync", f"r{r}_p{pid}")

@@ -57,7 +57,12 @@ def _min_label_fixpoint(
     edges: DataFrame, labels: DataFrame, max_rounds: int
 ) -> DataFrame:
     """Propagate min label along edge direction (src -> dst) to
-    fixpoint. labels: (id, lab) seeded with lab = id."""
+    fixpoint. labels: (id, lab) seeded with lab = id.
+
+    Raises if max_rounds is exhausted before the fixpoint: a partial
+    propagation would silently split one true SCC into several wrong
+    labels downstream (COLLECT would mark only part of the class)."""
+    n_changed = 0
     for _ in range(max_rounds):
         pushed = (
             edges.join(labels, edges.src == labels.id)
@@ -88,6 +93,12 @@ def _min_label_fixpoint(
             pass
         if n_changed == 0:
             break
+    if n_changed != 0:
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_rounds} "
+            "rounds (graph diameter exceeds max_inner); raise max_inner "
+            "— continuing would emit incorrect SCC labels"
+        )
     return labels
 
 
@@ -102,6 +113,7 @@ def _reach_fixpoint(
     a, b = ("src", "dst") if direction == "fwd" else ("dst", "src")
     reached = _ckpt(seeds.select("id").distinct())
     frontier = reached
+    converged = False
     for _ in range(max_rounds):
         step = (
             edges.join(
@@ -112,9 +124,16 @@ def _reach_fixpoint(
         )
         new = _ckpt(step.join(reached, "id", "left_anti"))
         if new.limit(1).count() == 0:
+            converged = True
             break
         reached = _ckpt(reached.union(new))
         frontier = new
+    if not converged:
+        raise RuntimeError(
+            f"reachability closure did not converge in {max_rounds} "
+            "rounds (graph diameter exceeds max_inner); raise max_inner "
+            "— a partial closure would emit incorrect components"
+        )
     return reached
 
 
@@ -144,17 +163,42 @@ def strongly_connected_components(
     live = verts
     for _ in range(max_outer):
         # --- TRIM: peel no-in / no-out vertices (singleton SCCs).
+        # One conditional aggregate per layer: a vertex survives iff it
+        # has BOTH an out-edge and an in-edge in the induced subgraph
+        # (union + groupBy-max flags, map-side combinable — replaces the
+        # old intersect + two limit(1).count() round-trips; peeled
+        # layers are batch-emitted once after the loop).
+        trimmed: list[DataFrame] = []
         while True:
             e = _induced(live_edges, live)
             both = (
-                e.select(F.col("src").alias("id"))
-                .intersect(e.select(F.col("dst").alias("id")))
+                e.select(
+                    F.col("src").alias("id"),
+                    F.lit(1).alias("ho"),
+                    F.lit(0).alias("hi"),
+                )
+                .unionAll(
+                    e.select(
+                        F.col("dst").alias("id"),
+                        F.lit(0).alias("ho"),
+                        F.lit(1).alias("hi"),
+                    )
+                )
+                .groupBy("id")
+                .agg(F.max("ho").alias("ho"), F.max("hi").alias("hi"))
+                .filter((F.col("ho") == 1) & (F.col("hi") == 1))
+                .select("id", F.lit(1).alias("keep"))
             )
-            trivial = _ckpt(live.join(both, "id", "left_anti"))
-            if trivial.limit(1).count() == 0:
+            mark = _ckpt(live.join(both, "id", "left"))
+            if mark.filter(F.col("keep").isNull()).limit(1).count() == 0:
                 break
-            emit(trivial.select("id", F.col("id").alias("scc")))
-            live = _ckpt(live.join(trivial, "id", "left_anti"))
+            trimmed.append(mark.filter(F.col("keep").isNull()).select("id"))
+            live = mark.filter(F.col("keep") == 1).select("id")
+        if trimmed:
+            peeled = trimmed[0]
+            for t in trimmed[1:]:
+                peeled = peeled.union(t)
+            emit(peeled.select("id", F.col("id").alias("scc")))
         if live.limit(1).count() == 0:
             break
         live_edges = _ckpt(_induced(live_edges, live))
@@ -193,8 +237,13 @@ def strongly_connected_components(
             break
         live_edges = _ckpt(_induced(live_edges, live))
 
-    if live.limit(1).count() > 0:  # max_outer safety: rest are singletons
-        emit(live.select("id", F.col("id").alias("scc")))
+    if live.limit(1).count() > 0:
+        # vertices left after max_outer were never decomposed; labeling
+        # them singletons would be silently wrong — fail loudly instead
+        raise RuntimeError(
+            f"SCC decomposition did not finish in max_outer={max_outer} "
+            "rounds (pathological SCC-chain structure); raise max_outer"
+        )
     assert done is not None
     return done.select("id", "scc")
 

@@ -24,9 +24,10 @@ otherwise — as TWO tables:
 
 from __future__ import annotations
 
+import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -48,6 +49,12 @@ _METRICS_FULL = T.StructType(
         T.StructField("snapshot_ref", T.StringType(), True),
         T.StructField("errors", T.ArrayType(T.DoubleType()), True),
         T.StructField("dangling_masses", T.ArrayType(T.DoubleType()), True),
+        # monotone save sequence: metrics are append-only, so a
+        # crash-resume that re-saves an iteration appends a SECOND row
+        # for it; readers keep the max-save_seq row per iteration so
+        # the surviving row is deterministic (not dropDuplicates'
+        # arbitrary pick)
+        T.StructField("save_seq", T.LongType(), True),
     ]
 )
 
@@ -115,6 +122,7 @@ class CheckpointManager:
             ),
             "errors": [float(x) for x in (errors or [])],
             "dangling_masses": [float(x) for x in (dangling_masses or [])],
+            "save_seq": time.time_ns(),
         }
         mdf = spark.createDataFrame([row], schema=_METRICS_FULL)
         io.append(mdf, _METRICS_TABLE)  # commit point — always last
@@ -123,10 +131,20 @@ class CheckpointManager:
         io = self._backend(spark)
         if not io.exists(_METRICS_TABLE):
             return None
+        m = io.read(spark, _METRICS_TABLE).filter(
+            F.col("run_id") == self.run_id
+        )
+        if "save_seq" not in m.columns:  # pre-save_seq table layout
+            return m.dropDuplicates(["iteration"])
+        # deterministic survivor per iteration: the LAST save wins
+        # (max save_seq); dropDuplicates would keep an arbitrary row
+        w = Window.partitionBy("iteration").orderBy(
+            F.col("save_seq").desc_nulls_last()
+        )
         return (
-            io.read(spark, _METRICS_TABLE)
-            .filter(F.col("run_id") == self.run_id)
-            .dropDuplicates(["iteration"])
+            m.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
         )
 
     def latest(self, spark: SparkSession):

@@ -89,3 +89,29 @@ def test_metrics_table(spark, tmp_path):
     assert abs(last["l1_err"] - res.errors[-1]) < 1e-15
     assert abs(last["dangling_mass"] - res.dangling_mass[-1]) < 1e-15
     assert last["run_id"] == "t_metrics"
+
+
+def test_resave_same_iteration_latest_save_wins(spark, tmp_path):
+    """Metrics are append-only; a crash-resume that re-saves an
+    iteration appends a second row for it. The surviving row must be
+    the LAST save (max save_seq), deterministically — not an arbitrary
+    dropDuplicates pick."""
+    import pandas as pd
+
+    cm = CheckpointManager(str(tmp_path / "c4"), run_id="t_resave")
+    ranks = spark.createDataFrame(
+        pd.DataFrame({"id": [0, 1], "rank": [0.5, 0.5]})
+    )
+    cm.save(ranks, iteration=3, l1_err=0.5, pr_sum=1.0,
+            dangling_mass=0.1, wall_ms=111)
+    cm.save(ranks, iteration=3, l1_err=0.25, pr_sum=1.0,
+            dangling_mass=0.2, wall_ms=222)
+    _, meta = cm.latest(spark)
+    assert meta["iteration"] == 3
+    assert meta["wall_ms"] == 222
+    assert abs(meta["l1_err"] - 0.25) < 1e-15
+    assert abs(meta["dangling_mass"] - 0.2) < 1e-15
+    # metrics_df view also deduplicates to the surviving row
+    mrows = cm.metrics_df(spark).filter("iteration = 3").collect()
+    assert len(mrows) == 1
+    assert abs(mrows[0]["l1_err"] - 0.25) < 1e-15

@@ -98,3 +98,32 @@ def test_csr_batch_boundary_merge(spark, monkeypatch):
     )
     assert res.rounds == oracle.rounds
     np.testing.assert_allclose(_vec(res, n), oracle.ranks, atol=1e-9)
+
+
+def test_auto_mode_falls_back_to_broadcast_on_oversized_partitions(spark):
+    """ADVICE r02: exchange='auto' with num_partitions > available slots
+    must fall back to the broadcast exchange (correct at any partition
+    count) instead of raising; the hard error stays for explicit 'shm'."""
+    import pytest
+
+    n = 300
+    src, dst = synthetic_edges(n, 0.6, 4, 5, n_slaves=1)
+    edges = edges_to_spark(spark, src, dst)
+    too_many = spark.sparkContext.defaultParallelism + 7
+    res = pagerank_csr(
+        spark, edges, num_vertices=n, threshold=1e-8, max_rounds=40,
+        num_partitions=too_many, exchange="auto",
+    )
+    assert res.converged
+    ref = pagerank_csr(
+        spark, edges, num_vertices=n, threshold=1e-8, max_rounds=40,
+        exchange="broadcast",
+    )
+    a = {r["id"]: r["rank"] for r in res.ranks.collect()}
+    b = {r["id"]: r["rank"] for r in ref.ranks.collect()}
+    assert all(abs(a[i] - b[i]) < 1e-12 for i in a)
+    with pytest.raises(ValueError, match="barrier gang"):
+        pagerank_csr(
+            spark, edges, num_vertices=n, threshold=1e-8, max_rounds=5,
+            num_partitions=too_many, exchange="shm",
+        )

@@ -171,3 +171,17 @@ def test_scc_partitioning_invariance(spark):
     )
     got = strongly_connected_components(spark, df, num_vertices=n)
     assert {r["id"]: r["scc"] for r in got.collect()} == tarjan_scc(n, edges)
+
+
+def test_scc_raises_on_inner_round_exhaustion(spark):
+    """ADVICE r02: exhausting max_inner before the fixpoint must raise
+    (a partial propagation silently splits one SCC into wrong labels)."""
+    import pytest
+
+    # a 12-cycle needs ~11 propagation rounds; max_inner=3 cannot finish
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        strongly_connected_components(spark, edges, max_inner=3)

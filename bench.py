@@ -78,6 +78,49 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
         return out
 
+    # --- sf-dir suite FIRST (BENCH_r02 ran the 10x-bigger 1e7 synth
+    # loops before it in the same JVM, and the 40-round iterative
+    # pagerank_sf regressed 33.7 -> 62.9 s from the hot heap/GC state
+    # they leave behind; the one-shot queries were unaffected or
+    # improved. Running sf before synth restores a fresh-JVM-equivalent
+    # measurement — root-cause note in BENCH.md §7.) ---
+    from dxa_pagerank_spark.operators.ktruss import k_truss
+
+    sf_edges = entrymod._edges(spark, SF_DIR)
+
+    timed(
+        "pagerank_sf",
+        lambda: pagerank(
+            spark, sf_edges, threshold=1e-8, max_rounds=40, num_partitions=CPUS
+        ).ranks.count(),
+    )
+    timed(
+        "connected_components_sf",
+        lambda: connected_components(spark, sf_edges).agg(
+            F.countDistinct("component")
+        ).collect(),
+    )
+    timed("triangle_count_sf", lambda: triangle_count(spark, sf_edges))
+    timed(
+        "k_truss_sf",
+        lambda: k_truss(spark, sf_edges, k=4).count(),
+    )
+    timed(
+        "minhash_dedup_sf",
+        lambda: entrymod.q_minhash_dedup(spark, SF_DIR).count(),
+    )
+    timed("ann_topk_sf", lambda: entrymod.q_ann_topk(spark, SF_DIR).count())
+    timed(
+        "doc_stats_sf",
+        lambda: entrymod.q_doc_stats(spark, SF_DIR).agg(
+            F.sum("n_tokens")
+        ).collect(),
+    )
+    timed(
+        "events_window_sf",
+        lambda: entrymod.q_events_window_agg(spark, SF_DIR).count(),
+    )
+
     # --- synthetic PageRank hot loop: the BASELINE.json metric ---
     # csr (the north_star kernel) is the headline; the general df loop
     # is timed alongside. Steady-state = min of rounds 4.. (first 3 are
@@ -111,38 +154,6 @@ def main() -> None:
     timings["pagerank_df_synth"] = round(time.monotonic() - t0, 3)
     df_steady = (
         df_res.round_ms[3:] if len(df_res.round_ms) > 3 else df_res.round_ms[-1:]
-    )
-
-    # --- sf-dir suite ---
-    sf_edges = entrymod._edges(spark, SF_DIR)
-
-    timed(
-        "pagerank_sf",
-        lambda: pagerank(
-            spark, sf_edges, threshold=1e-8, max_rounds=40, num_partitions=CPUS
-        ).ranks.count(),
-    )
-    timed(
-        "connected_components_sf",
-        lambda: connected_components(spark, sf_edges).agg(
-            F.countDistinct("component")
-        ).collect(),
-    )
-    timed("triangle_count_sf", lambda: triangle_count(spark, sf_edges))
-    timed(
-        "minhash_dedup_sf",
-        lambda: entrymod.q_minhash_dedup(spark, SF_DIR).count(),
-    )
-    timed("ann_topk_sf", lambda: entrymod.q_ann_topk(spark, SF_DIR).count())
-    timed(
-        "doc_stats_sf",
-        lambda: entrymod.q_doc_stats(spark, SF_DIR).agg(
-            F.sum("n_tokens")
-        ).collect(),
-    )
-    timed(
-        "events_window_sf",
-        lambda: entrymod.q_events_window_agg(spark, SF_DIR).count(),
     )
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -164,8 +164,10 @@ def _skip_at(skip, pos):
 def _decode_endpoint_stream(
     states: np.ndarray, loc: float, S: int, c: int
 ) -> dict:
-    """Per-position decode tables for the endpoint stream. Returns
-    nxt (padded jump array), plus value/skip tables for lazy per-attempt
+    """Per-position decode tables for the endpoint stream (equal
+    per-slave vertex counts: the in-slave nextInt bound is the same c
+    everywhere, so one table set serves every slave). Returns nxt
+    (padded jump array), plus value/skip tables for lazy per-attempt
     gathers."""
     T = len(states)
     i31 = (states >> np.uint64(17)).astype(np.int64)
@@ -206,6 +208,95 @@ def _decode_endpoint_stream(
         "val_s": val_s,
         "skip_s": skip_s,
         "nxt": nxt,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Unequal per-slave vertex counts (n % S != 0): the in-slave nextInt
+# bound is counts[target_slave] — position-dependent through the target
+# slave. Tables are built once per distinct bound (there are exactly
+# two: ceil and floor) and a per-slave nxt jump array selects between
+# them, so the same chase/speculate/repair machinery runs per slave
+# block (the generator consumes the stream slave-by-slave anyway).
+# ---------------------------------------------------------------------------
+
+def _shared_decode(states: np.ndarray, loc: float, S: int, counts) -> dict:
+    """Bound-keyed value/skip tables shared by every slave's tab."""
+    T = len(states)
+    i31 = (states >> np.uint64(17)).astype(np.int64)
+    if S == 1:
+        loc_ok = np.ones(T - 1, dtype=bool)
+    else:
+        d = _doubles_from_states(states[:-1], states[1:])
+        loc_ok = d <= loc
+        del d
+    val_s, skip_s = (None, None) if S == 1 else _int_decode(i31, S - 1, T)
+    by_bound = {b: _int_decode(i31, b, T) for b in sorted(set(counts))}
+    return {
+        "T": T,
+        "i31": i31,
+        "loc_ok": loc_ok,
+        "val_s": val_s,
+        "skip_s": skip_s,
+        "by_bound": by_bound,
+    }
+
+
+def _slave_tab(shared: dict, counts, slave: int, S: int) -> dict:
+    """Decode tab for one slave: local draws use bound counts[slave];
+    cross draws select the target slave's bound per position (the
+    target (slave + v1 + 1) % S is a pure function of position for a
+    fixed slave). Produces the same tab contract the chase machinery
+    consumes, plus an ``xsel`` cross-bound selector."""
+    T = shared["T"]
+    mod_hi = max(counts)
+    val_c, skip_c = shared["by_bound"][counts[slave]]
+    val_s, skip_s = shared["val_s"], shared["skip_s"]
+    loc_ok = shared["loc_ok"]
+
+    xsel = None
+    if S > 1:
+        val_hi, skip_hi = shared["by_bound"][mod_hi]
+        val_lo, skip_lo = shared["by_bound"][min(counts)]
+        # hi_tgt[t]: does the cross draw ACCEPTED at slave-draw position
+        # t target a ceil-count slave?
+        v1_all = val_s.astype(np.int64)
+        tgt = (slave + 1 + v1_all) % S
+        hi_tgt = np.asarray(counts)[tgt] == mod_hi
+        xsel = {
+            "hi_tgt": hi_tgt,
+            "val_hi": val_hi,
+            "skip_hi": skip_hi,
+            "val_lo": val_lo,
+            "skip_lo": skip_lo,
+        }
+
+    pos = np.arange(T - 2, dtype=np.int64)
+    q0 = pos + 2
+    lid_pos_local = np.minimum(_skip_at(skip_c, q0), T)
+    if S > 1:
+        sp = np.minimum(_skip_at(skip_s, q0), T - 2)
+        hi = xsel["hi_tgt"][sp]
+        lp_hi = np.minimum(_skip_at(xsel["skip_hi"], sp + 1), T)
+        lp_lo = np.minimum(_skip_at(xsel["skip_lo"], sp + 1), T)
+        lid_pos_other = np.where(hi, lp_hi, lp_lo)
+        lid_pos = np.where(loc_ok[: T - 2], lid_pos_local, lid_pos_other)
+    else:
+        lid_pos = lid_pos_local
+    nxt = np.minimum(lid_pos + 1, T).astype(np.int32)
+    nxt = np.concatenate([nxt, np.full(3, T, dtype=np.int32)])
+    return {
+        "T": T,
+        "i31": shared["i31"],
+        "loc_ok": loc_ok,
+        "val_c": val_c,
+        "skip_c": skip_c,
+        "val_s": val_s,
+        "skip_s": skip_s,
+        "nxt": nxt,
+        "xsel": xsel,
+        "slave": slave,
+        "S": S,
     }
 
 

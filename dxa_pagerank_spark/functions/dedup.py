@@ -58,21 +58,34 @@ def shingles(
 ) -> DataFrame:
     """Word n-gram shingles -> distinct (doc_id, sh) 64-bit hashes.
     Tokenization: lowercase alphanumeric runs (JVM regexp)."""
+    sc = documents.sparkSession.sparkContext
+    if documents.rdd.getNumPartitions() < sc.defaultParallelism:
+        # a small parquet scan arrives as 1-2 splits; the gram explode
+        # below is the expensive step, so spread the (cheap, pre-blowup)
+        # text rows across the cores first. At real scale the scan has
+        # >= cores splits and this is a no-op.
+        documents = documents.repartition(sc.defaultParallelism)
     toks = F.split(
         F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "), " +"
     )
     toks = F.filter(toks, lambda x: x != "")
+    # materialize the token array as a column FIRST: referencing the
+    # split/regexp expression inside the transform lambda would
+    # re-evaluate the whole tokenizer once per gram (O(len^2) regex
+    # work per doc, measured 6x on the minhash pipeline); a multiply-
+    # referenced alias is not inlined by CollapseProject
+    t = F.col("_toks")
+    d = documents.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
     # sliding word n-grams via transform over index range
     grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
     )
-    grams = F.when(F.size(toks) >= n, grams).otherwise(
-        F.array(F.concat_ws(" ", toks))
+    grams = F.when(F.size(t) >= n, grams).otherwise(
+        F.array(F.concat_ws(" ", t))
     )
     return (
-        documents.select(F.col(id_col).alias("doc_id"), grams.alias("grams"))
-        .select("doc_id", F.explode("grams").alias("gram"))
+        d.select("doc_id", F.explode(grams).alias("gram"))
         .select("doc_id", F.xxhash64("gram").alias("sh"))
         .distinct()
     )
@@ -194,7 +207,11 @@ def _capped_bucket_edges(
     stats = keyed.groupBy(*bucket_cols).agg(
         F.count(F.lit(1)).alias("_sz"), F.min("doc_id").alias("_rep")
     )
-    sized = keyed.join(stats, bucket_cols)
+    # sized feeds FOUR downstream branches (small a/b, rep_side, large);
+    # without materialization each branch recomputes the whole upstream
+    # plan — for MinHash that is the 32-min-agg signature build, i.e.
+    # a ~4x blow-up measured at sf0.1. One row per (doc, band): small.
+    sized = keyed.join(stats, bucket_cols).localCheckpoint(eager=True)
     a = sized.select(
         *bucket_cols,
         F.col("_sz"),

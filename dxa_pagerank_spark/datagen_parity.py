@@ -33,11 +33,14 @@ two streams vectorized:
     resuming the strided walk. Both are O(events), and events are
     O(M * indeg / n) — a handful at 1e7.
 
-Restrictions of the fast path (asserted): ``n_slaves == 1`` or
-``n % n_slaves == 0`` (equal per-slave vertex counts, so the in-slave
-nextInt bound is position-independent). The reference's published run
-(N=10,000,000, S=2) satisfies this. Unequal counts fall back to
-``datagen.synthetic_edges``.
+Unequal per-slave vertex counts (``n % n_slaves != 0``) are handled by
+a per-slave block pipeline: the in-slave nextInt bound then depends on
+the TARGET slave (ceil vs floor of n/S), so value/skip tables are built
+once per distinct bound, each slave gets its own jump array selecting
+between them, and blocks run sequentially, each resuming at the stream
+position the previous block ended — exactly the generator's own
+sequential slave loop. Verified draw-parity vs the pure replica
+(tests/test_datagen_parity.py, incl. N=100001 S=2).
 
 ``synthetic_edges_distributed`` wraps the decoder in ``mapInPandas``
 with one task per slave, mirroring the reference's every-peer-replays-
@@ -362,8 +365,10 @@ def _chase(
 def _attempt_decode(tab: dict, P: np.ndarray):
     """Vectorized decode of the attempts starting at positions P:
     (is_local, v1, lid, lid_pos). v1 is the cross-slave offset draw
-    (0 where local)."""
+    (0 where local). With an ``xsel`` (unequal per-slave counts) the
+    cross local-id draw selects the target slave's bound tables."""
     T = tab["T"]
+    xsel = tab.get("xsel")
     if (P + 2 >= T).any():
         raise _NeedMoreStream
     lo = tab["loc_ok"][P]
@@ -375,7 +380,15 @@ def _attempt_decode(tab: dict, P: np.ndarray):
             raise _NeedMoreStream
         sp = np.minimum(sp, T - 2)
         v1 = tab["val_s"][sp].astype(np.int64)
-        lp_o = _skip_at(tab["skip_c"], sp + 1)
+        if xsel is None:
+            lp_o = _skip_at(tab["skip_c"], sp + 1)
+        else:
+            hi = xsel["hi_tgt"][sp]
+            lp_o = np.where(
+                hi,
+                _skip_at(xsel["skip_hi"], sp + 1),
+                _skip_at(xsel["skip_lo"], sp + 1),
+            )
         lid_pos = np.where(lo, lp_l, lp_o)
         v1 = np.where(lo, 0, v1)
     else:
@@ -383,7 +396,16 @@ def _attempt_decode(tab: dict, P: np.ndarray):
         v1 = np.zeros(len(P), dtype=np.int64)
     if (lid_pos >= T).any():
         raise _NeedMoreStream
-    lid = tab["val_c"][lid_pos].astype(np.int64) + 1
+    if xsel is None:
+        lid = tab["val_c"][lid_pos].astype(np.int64) + 1
+    else:
+        lid_l = tab["val_c"][lid_pos].astype(np.int64)
+        # cross draws re-gather from the target-bound table; `hi`/`sp`
+        # exist whenever any cross draw can (S > 1 with unequal counts)
+        lid_x = np.where(
+            hi, xsel["val_hi"][lid_pos], xsel["val_lo"][lid_pos]
+        ).astype(np.int64)
+        lid = np.where(lo, lid_l, lid_x) + 1
     return lo, v1, lid, lid_pos
 
 
@@ -422,18 +444,6 @@ def parity_synthetic_edges(
     (what one reference peer materializes locally).
     """
     S = n_slaves
-    if S > 1 and n % S != 0:
-        from .datagen import synthetic_edges  # unequal per-slave counts:
-
-        src, dst = synthetic_edges(n, locality, mean_indeg, seed, S)
-        if only_slave is not None:
-            c_lo = [int(math.ceil(n / S)) if i < n % S else n // S for i in range(S)]
-            off = np.concatenate([[0], np.cumsum(c_lo)[:-1]])
-            lo, hi = off[only_slave], off[only_slave] + c_lo[only_slave]
-            m = (dst >= lo) & (dst < hi)
-            return src[m], dst[m]
-        return src, dst
-    c = n // S
     indeg = indegree_stream(n, mean_indeg, seed)
     m_accept = int(indeg.sum())
 
@@ -441,6 +451,44 @@ def parity_synthetic_edges(
     per_attempt = 2.0 + 1.01 + (0.0 if S == 1 else (1.0 - loc_eff) * 1.01)
     T = int(m_accept * per_attempt * 1.03) + 4096
 
+    if S > 1 and n % S != 0:
+        # unequal per-slave counts: the in-slave nextInt bound depends
+        # on the TARGET slave (ceil vs floor), so decode tables are
+        # built per distinct bound and each slave block runs with its
+        # own jump array, resuming at the stream position the previous
+        # block ended (the generator's loop is sequential over slaves).
+        from .datagen import _slave_local_vertex_cnts
+
+        counts = _slave_local_vertex_cnts(n, S)
+        offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(
+            np.int64
+        )
+        for _ in range(8):
+            try:
+                states = raw_states(seed, T)
+                shared = _shared_decode(states, locality, S, counts)
+                srcs, dsts = [], []
+                p = 0
+                for i in range(S):
+                    tab_i = _slave_tab(shared, counts, i, S)
+                    blk = indeg[offsets[i] : offsets[i] + counts[i]]
+                    s_i, d_i, p = _assign_block(
+                        tab_i, blk, S, counts, offsets, i, p
+                    )
+                    if only_slave is None or i == only_slave:
+                        srcs.append(s_i)
+                        dsts.append(d_i)
+                return (
+                    np.concatenate(srcs) if srcs else np.empty(0, np.int64),
+                    np.concatenate(dsts) if dsts else np.empty(0, np.int64),
+                )
+            except _NeedMoreStream:
+                T = int(T * 1.4) + 4096
+        raise RuntimeError(
+            "parity generator: stream estimate kept overflowing"
+        )
+
+    c = n // S
     for _ in range(8):  # stream-length retry loop
         try:
             states = raw_states(seed, T)
@@ -584,15 +632,120 @@ def _assign_and_emit(
     raise RuntimeError("parity generator: did not converge")
 
 
+def _assign_block(
+    tab: dict,
+    indeg: np.ndarray,
+    S: int,
+    counts,
+    offsets: np.ndarray,
+    slave: int,
+    p_start: int,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Per-slave-block variant of _assign_and_emit (unequal per-slave
+    counts): same speculate-then-repair loop over ONE slave's vertex
+    block, starting at stream position p_start, with global ids mapped
+    through ``offsets``. Returns (src, dst, stream position after the
+    block) so the next slave's block resumes exactly where the
+    generator's sequential loop would."""
+    import pandas as pd
+
+    T = tab["T"]
+    n = len(indeg)
+    maxc = max(counts)
+    dup_pos: dict[int, int] = {}
+    patched: dict[int, tuple[int, int]] = {}
+    scan_v = 0
+    indeg = indeg.astype(np.int64)
+    off = np.asarray(offsets, dtype=np.int64)
+
+    if n == 0 or int(indeg.sum()) == 0:
+        # a block can still CONSUME stream (zero-indeg vertices draw
+        # nothing), so p_end == p_start exactly
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            p_start,
+        )
+
+    P = _chase(tab["nxt"], p_start, int(indeg.sum()), T)
+    lo, v1, lid, _lp = _attempt_decode(tab, P)
+
+    def decode_seg(P2: np.ndarray):
+        l2, w2, d2, _ = _attempt_decode(tab, P2)
+        for i, pos in enumerate(P2.tolist()):
+            if pos in patched:
+                d2[i] = patched[pos][0]
+        return l2, w2, d2
+
+    def extend_to(M: int) -> None:
+        nonlocal P, lo, v1, lid
+        while len(P) < M:
+            last = int(P[-1])
+            nol = patched.get(last, (0, int(tab["nxt"][last])))[1]
+            want = (M - len(P)) + 4096
+            P2 = _chase(tab["nxt"], nol, want, T, required=M - len(P))
+            l2, w2, d2 = decode_seg(P2)
+            P = np.concatenate([P, P2])
+            lo = np.concatenate([lo, l2])
+            v1 = np.concatenate([v1, w2])
+            lid = np.concatenate([lid, d2])
+
+    for _ in range(n + 2):
+        need = indeg + np.bincount(
+            np.fromiter(dup_pos.values(), dtype=np.int64, count=len(dup_pos)),
+            minlength=n,
+        )
+        M = int(need.sum())
+        extend_to(M)
+        bnd = np.cumsum(need)
+
+        a = _earliest_event(
+            bnd, lo, v1, lid, S, maxc, scan_v, M, pd, slave=slave
+        )
+        if a is None:
+            v = np.repeat(np.arange(n, dtype=np.int64), need)
+            idx_t = np.where(
+                lo[:M], slave, (slave + v1[:M] + 1) % S
+            ).astype(np.int64)
+            acc = ~np.isin(
+                P[:M],
+                np.fromiter(dup_pos, dtype=np.int64, count=len(dup_pos)),
+            ) if dup_pos else np.ones(M, dtype=bool)
+            src = off[idx_t[acc]] + (lid[:M][acc] - 1)
+            dst = off[slave] + v[acc]
+            last = int(P[M - 1])
+            p_end = patched.get(last, (0, int(tab["nxt"][last])))[1]
+            return src, dst, p_end
+        w = int(np.searchsorted(bnd, a, side="right"))
+        a0w = int(bnd[w - 1]) if w else 0
+        n_patch = len(patched)
+        starts, _pend = _resolve_vertex(
+            tab, w, int(P[a0w]), int(indeg[w]), S, maxc, dup_pos, patched,
+            i_w=slave, local_id_w=w + 1,
+        )
+        if len(patched) > n_patch:
+            seg = np.asarray(starts, dtype=np.int64)
+            l2, w2, d2 = decode_seg(seg)
+            P = np.concatenate([P[:a0w], seg])
+            lo = np.concatenate([lo[:a0w], l2])
+            v1 = np.concatenate([v1[:a0w], w2])
+            lid = np.concatenate([lid[:a0w], d2])
+        scan_v = w + 1
+    raise RuntimeError("parity generator: block did not converge")
+
+
 _SCAN_WINDOW = 1 << 20
 
 
-def _earliest_event(bnd, lo, v1, lid, S, c, scan_v, M, pd):
+def _earliest_event(bnd, lo, v1, lid, S, c, scan_v, M, pd, slave=None):
     """First (dup | self-loop) attempt index in vertices >= scan_v,
     scanning in vertex-aligned windows. Vertices below scan_v are fully
     resolved, so decode+assignment are exact up to the returned event —
     which makes the event itself exactly identified. The attempt->vertex
-    map is derived per window (searchsorted), never materialized at M."""
+    map is derived per window (searchsorted), never materialized at M.
+    With ``slave`` set (per-slave block run, unequal counts) vertices
+    are block-local: i_v = slave, local id = vertex index + 1, and c is
+    the max per-slave count (key-packing radix only)."""
     a0 = int(bnd[scan_v - 1]) if scan_v else 0
     while a0 < M:
         hi = min(M, a0 + _SCAN_WINDOW)
@@ -604,8 +757,12 @@ def _earliest_event(bnd, lo, v1, lid, S, c, scan_v, M, pd):
         vs = np.searchsorted(
             bnd, np.arange(a0, hi, dtype=np.int64), side="right"
         )
-        i_v = vs // c
-        local_id = vs % c + 1
+        if slave is None:
+            i_v = vs // c
+            local_id = vs % c + 1
+        else:
+            i_v = np.full(len(vs), slave, dtype=np.int64)
+            local_id = vs + 1
         idx_t = np.where(lo[s], i_v, (i_v + v1[s] + 1) % S)
         vk = (
             vs * np.int64(S * (c + 1) + 1)
@@ -650,22 +807,33 @@ def _scalar_attempt(tab, p: int, local_id_w: int, i_w: int, S: int):
     if sp >= T - 1:
         raise _NeedMoreStream
     v1 = int(tab["val_s"][sp])
-    lp = sp + 1 if tab["skip_c"] is None else int(tab["skip_c"][sp + 1])
+    xsel = tab.get("xsel")
+    if xsel is None:
+        val_cx, skip_cx = tab["val_c"], tab["skip_c"]
+    else:  # unequal counts: the cross draw uses the TARGET's bound
+        if bool(xsel["hi_tgt"][sp]):
+            val_cx, skip_cx = xsel["val_hi"], xsel["skip_hi"]
+        else:
+            val_cx, skip_cx = xsel["val_lo"], xsel["skip_lo"]
+    lp = sp + 1 if skip_cx is None else int(skip_cx[sp + 1])
     if lp >= T:
         raise _NeedMoreStream
-    lid = int(tab["val_c"][lp]) + 1
+    lid = int(val_cx[lp]) + 1
     return (i_w + v1 + 1) % S, lid, lp + 1, False
 
 
 def _resolve_vertex(
     tab, w: int, p_start: int, indeg_w: int, S: int, c: int,
     dup_pos: dict, patched: dict,
+    i_w: int | None = None, local_id_w: int | None = None,
 ) -> tuple[list[int], int]:
     """Exact sequential replay of ALL of vertex w's draws (the Java
     HashSet loop, CreateSyntheticGraphSeed.java:85-105), recording its
     duplicate attempts and self-loop patches. Returns (attempt start
-    positions, stream position after the vertex)."""
-    i_w, local_id_w = w // c, w % c + 1
+    positions, stream position after the vertex). i_w/local_id_w
+    override the equal-count derivation for per-slave block runs."""
+    if i_w is None:
+        i_w, local_id_w = w // c, w % c + 1
     seen: set[tuple[int, int]] = set()
     k = 0
     p = p_start

@@ -61,12 +61,45 @@ def test_parity_vs_pure_python(n, loc, mean, seed, S):
     np.testing.assert_array_equal(d1, d2)
 
 
-def test_parity_unequal_counts_falls_back():
-    # n % S != 0 -> exact fallback to the pure replica
-    s1, d1 = synthetic_edges(101, 0.7, 5, 13, n_slaves=2)
-    s2, d2 = parity_synthetic_edges(101, 0.7, 5, 13, n_slaves=2)
+def test_parity_unequal_counts_fast_path():
+    """n % S != 0 takes the per-slave block fast path (bound tables per
+    distinct ceil/floor count) and stays draw-parity exact."""
+    for n, S, loc, mean, seed in [
+        (101, 2, 0.7, 5, 13),
+        (1001, 3, 0.6, 4, 42),
+        (505, 4, 0.3, 6, 11),
+        (101, 2, 1.0, 4, 5),  # locality 1: no cross draws at all
+    ]:
+        s1, d1 = synthetic_edges(n, loc, mean, seed, n_slaves=S)
+        s2, d2 = parity_synthetic_edges(n, loc, mean, seed, n_slaves=S)
+        np.testing.assert_array_equal(s1, s2)
+        np.testing.assert_array_equal(d1, d2)
+
+
+def test_parity_unequal_counts_medium_scale():
+    """(N=1e5+1, S=2) parity vs the pure replica (VERDICT r02 item 8)."""
+    n = 100_001
+    s1, d1 = synthetic_edges(n, 0.6, 4, 5, n_slaves=2)
+    s2, d2 = parity_synthetic_edges(n, 0.6, 4, 5, n_slaves=2)
     np.testing.assert_array_equal(s1, s2)
     np.testing.assert_array_equal(d1, d2)
+
+
+def test_only_slave_partitions_unequal_counts():
+    n, S = 1001, 3
+    s_all, d_all = parity_synthetic_edges(n, 0.7, 5, 9, n_slaves=S)
+    parts = [
+        parity_synthetic_edges(n, 0.7, 5, 9, n_slaves=S, only_slave=i)
+        for i in range(S)
+    ]
+    # ceil/floor block bounds
+    counts = [334, 334, 333]
+    off = [0, 334, 668]
+    for i, (s_i, d_i) in enumerate(parts):
+        assert ((d_i >= off[i]) & (d_i < off[i] + counts[i])).all()
+    got = np.concatenate([p[0] * n + p[1] for p in parts])
+    want = s_all * n + d_all
+    np.testing.assert_array_equal(np.sort(got), np.sort(want))
 
 
 def test_only_slave_partitions_the_edge_set():

@@ -101,6 +101,7 @@ def pagerank(
     resume: bool = False,
     hub_salt: int = 0,
     hub_threshold: int = 100_000,
+    ckpt_storage: StorageLevel | None = StorageLevel.DISK_ONLY,
 ) -> PageRankResult:
     """Run reference-semantics PageRank over an edge DataFrame.
 
@@ -117,6 +118,14 @@ def pagerank(
     salting is for clusters/configs where AQE is unavailable or the
     skew exceeds what post-hoc splitting handles. Results are identical
     with or without (tested).
+
+    ckpt_storage: storage level for the per-round rank localCheckpoint.
+    Default DISK_ONLY: the snapshot is a sequential ~8B-per-vertex write
+    the OS absorbs, and keeping it OFF the JVM heap measurably tames the
+    GC churn that per-round heap-resident snapshots cause under many
+    task threads (BENCH.md df matrix: medians improved at both 8 and 32
+    cores, 32-core floor 9.3 s -> 5.7 s). Pass None for Spark's default
+    (MEMORY_AND_DISK) — results are identical either way.
     """
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
 
@@ -211,6 +220,8 @@ def pagerank(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
+    if n == 0:
+        raise ValueError("pagerank: edge frame has no vertices")
     inv_n = 1.0 / n
     result = PageRankResult(
         ranks=None, rounds=0, converged=False, num_vertices=n, num_edges=num_edges
@@ -263,7 +274,7 @@ def pagerank(
                 # below is the single job that both materializes the
                 # checkpoint and reduces the round's scalars — one pass
                 # over the new ranks instead of two.
-                .localCheckpoint(eager=False)
+                .localCheckpoint(eager=False, storageLevel=ckpt_storage)
             )
             row = updated.agg(
                 F.sum("rank").alias("pr_sum"),

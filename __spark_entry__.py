@@ -818,6 +818,90 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_web_boilerplate_lines(spark, sf_dir):
+    """Corpus-wide shared-line table (CCNet-style line-dedup stage 1,
+    functions/boilerplate.py): lines occurring in > 50% of pages. On
+    the synthetic crawl that is exactly the navigation arms
+    ('next'/'rel', 90% of pages) and the mailto anchor text ('mail',
+    every page)."""
+    from dxa_pagerank_spark.functions.boilerplate import boilerplate_lines
+
+    return boilerplate_lines(
+        _web_pages(spark, sf_dir), id_col="url", max_doc_frac=0.5, min_docs=2
+    )
+
+
+def q_web_line_dedup(spark, sf_dir):
+    """Line-level boilerplate removal over the crawl (CCNet line dedup,
+    functions/boilerplate.py): drop every line occurring in > 50% of
+    pages, rebuild each page's text in original line order, report
+    kept/dropped line counts."""
+    from dxa_pagerank_spark.functions.boilerplate import remove_boilerplate
+
+    return remove_boilerplate(
+        _web_pages(spark, sf_dir), id_col="url", max_doc_frac=0.5, min_docs=2
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style per-document repetition signals over 2-/3-grams
+    (functions/repetition.py): most-frequent-gram coverage and
+    duplicate-gram fraction — the standard template-spam filters."""
+    from dxa_pagerank_spark.functions.repetition import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"), ns=(2, 3))
+
+
+def q_pii_masked(spark, sf_dir):
+    """PII masking (functions/pii.py) over deterministically augmented
+    text: each doc gets a synthetic email + IPv4 appended (the fixture
+    corpus contains no PII of its own), the masker must replace both
+    globally and count hits on the original text."""
+    from dxa_pagerank_spark.functions.pii import mask_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1 now"),
+        ).alias("text"),
+    )
+    return mask_pii(aug, id_col="doc_id", text_col="text")
+
+
+def q_quality_weighted_sample(spark, sf_dir):
+    """Quality-proportional deterministic sampling
+    (functions/sampling.weighted_sample): keep-probability =
+    quality^2 per document, decided by the engine-portable
+    multiplicative hash — corpus re-weighting with zero shuffles."""
+    from dxa_pagerank_spark.functions.sampling import weighted_sample
+    from dxa_pagerank_spark.functions.textstats import quality_col
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", quality_col(F.col("text")).alias("quality")
+    )
+    return weighted_sample(docs, "doc_id", "quality", power=2, salt=3)
+
+
+def q_doc_length_quantiles(spark, sf_dir):
+    """Per-language exact length quartiles (linear interpolation — the
+    corpus-shape report a data lead reads before choosing curation
+    bands). Built-in percentile aggregate, one shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    c = F.col("n_chars").cast("double")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile(c, F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile(c, F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(c, F.lit(0.75)), 6).alias("p75"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "web_pagerank": q_web_pagerank,
@@ -836,6 +920,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": q_degree_assortativity,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
+        "web_boilerplate_lines": q_web_boilerplate_lines,
+        "web_line_dedup": q_web_line_dedup,
+        "repetition_stats": q_repetition_stats,
+        "pii_masked": q_pii_masked,
+        "quality_weighted_sample": q_quality_weighted_sample,
+        "doc_length_quantiles": q_doc_length_quantiles,
         "out_degrees": q_out_degrees,
         "degree_distribution": q_degree_distribution,
         "pagerank_2rounds": q_pagerank_2rounds,
@@ -1621,6 +1711,133 @@ def _ann_topk_lsh_sql(k: int = 10, n_bits: int = 16, n_blocks: int = 4) -> str:
     """
 
 
+# The composite quality expression (functions/textstats.quality_col) in
+# DuckDB SQL — the same arithmetic the corpus_curation oracle inlines.
+_QUALITY_EXPR_SQL = """
+    round(((CASE WHEN length(text) BETWEEN 200 AND 20000 THEN 1.0
+                 ELSE least(length(text)::DOUBLE / 200.0, 1.0) END)
+           + (CASE WHEN (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                         / greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1))
+                        BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+           + length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1)) / 3.0, 6)
+"""
+
+# Line-level boilerplate (functions/boilerplate.py) over the synthetic
+# crawl: the pages' closed-form text is regenerated arithmetically
+# (same CTE as web_page_text), exploded into positioned lines in SQL.
+_LINES_CTE = f"""
+    pages AS MATERIALIZED ({_WEB_PAGE_TEXT_SQL}),
+    nd AS (SELECT count(*)::DOUBLE AS n FROM pages),
+    lines AS MATERIALIZED (
+        SELECT url, unnest(string_split(text, chr(10))) AS line,
+               generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        FROM pages),
+    boiler AS MATERIALIZED (
+        SELECT line, count(DISTINCT url) AS n_docs FROM lines GROUP BY line
+        HAVING count(DISTINCT url) >= 2
+           AND count(DISTINCT url) > 0.5 * (SELECT n FROM nd))
+"""
+
+_WEB_BOILERPLATE_LINES_SQL = f"""
+    WITH {_LINES_CTE}
+    SELECT line, n_docs,
+           round(n_docs / (SELECT n FROM nd), 9) AS doc_frac
+    FROM boiler
+"""
+
+_WEB_LINE_DEDUP_SQL = f"""
+    WITH {_LINES_CTE}
+    SELECT l.url AS id,
+           coalesce(string_agg(CASE WHEN b.line IS NULL THEN l.line END,
+                               chr(10) ORDER BY l.pos), '') AS text,
+           sum(CASE WHEN b.line IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_lines_kept,
+           sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_lines_dropped
+    FROM lines l LEFT JOIN boiler b ON l.line = b.line
+    GROUP BY l.url
+"""
+
+# Gopher repetition stats: n-grams built with list lambdas per doc,
+# exploded, counted, then left-joined back so gram-less (doc, n) rows
+# survive with zeros — functions/repetition.py semantics.
+_REPETITION_STATS_SQL = """
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+        FROM documents),
+    g AS MATERIALIZED (
+        SELECT doc_id, 2 AS n,
+               CASE WHEN len(l) >= 2 THEN list_transform(range(1, len(l)),
+                    i -> l[i] || ' ' || l[i+1]) ELSE [] END AS grams
+        FROM toks
+        UNION ALL
+        SELECT doc_id, 3,
+               CASE WHEN len(l) >= 3 THEN list_transform(range(1, len(l) - 1),
+                    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2]) ELSE [] END
+        FROM toks),
+    ex AS (SELECT doc_id, n, unnest(grams) AS gram FROM g),
+    pg AS (SELECT doc_id, n, gram, count(*) AS cnt FROM ex
+           GROUP BY doc_id, n, gram),
+    agg AS (SELECT doc_id, n, sum(cnt) AS total, count(*) AS dist,
+                   max(cnt) AS top
+            FROM pg GROUP BY doc_id, n)
+    SELECT g.doc_id AS id, g.n,
+           coalesce(total, 0)::BIGINT AS total_grams,
+           coalesce(dist, 0)::BIGINT AS distinct_grams,
+           coalesce(top, 0)::BIGINT AS top_gram_count,
+           round(CASE WHEN coalesce(total, 0) > 0
+                      THEN top::DOUBLE / total::DOUBLE ELSE 0.0 END, 9)
+               AS top_gram_frac,
+           round(CASE WHEN coalesce(total, 0) > 0
+                      THEN (total - dist)::DOUBLE / total::DOUBLE
+                      ELSE 0.0 END, 9) AS dup_gram_frac
+    FROM g LEFT JOIN agg ON g.doc_id = agg.doc_id AND g.n = agg.n
+"""
+
+# PII masking over deterministically augmented text (functions/pii.py
+# MASKS patterns — Java-regex/RE2-portable by construction).
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+_PII_MASKED_SQL = f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com at 10.'
+                    || (doc_id % 256) || '.0.1 now' AS t
+        FROM documents)
+    SELECT doc_id AS id,
+           regexp_replace(regexp_replace(t, '{_PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PII_IP_RE}', '<IP>', 'g') AS text,
+           len(regexp_extract_all(t, '{_PII_EMAIL_RE}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(t, '{_PII_IP_RE}'))::BIGINT AS n_ips
+    FROM aug
+"""
+
+
+def _quality_weighted_sample_sql() -> str:
+    """Mirror of q_quality_weighted_sample: quality expression + the
+    weighted-sample hash predicate (functions/sampling.py)."""
+    from dxa_pagerank_spark.functions.sampling import (
+        weighted_sample_sql_predicate,
+    )
+
+    pred = weighted_sample_sql_predicate("doc_id", "quality", power=2, salt=3)
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, {_QUALITY_EXPR_SQL} AS quality FROM documents)
+        SELECT doc_id, quality FROM scored WHERE {pred}
+    """
+
+
+_DOC_LENGTH_QUANTILES_SQL = """
+    SELECT lang, count(*) AS n_docs,
+           round(quantile_cont(n_chars::DOUBLE, 0.25), 6) AS p25,
+           round(quantile_cont(n_chars::DOUBLE, 0.5), 6) AS p50,
+           round(quantile_cont(n_chars::DOUBLE, 0.75), 6) AS p75
+    FROM documents GROUP BY lang
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "out_degrees": f"""
@@ -2021,6 +2238,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "corpus_curation": _CURATION_SQL,
         "stratified_sample": _strat_sample_sql(),
+        "web_boilerplate_lines": _WEB_BOILERPLATE_LINES_SQL,
+        "web_line_dedup": _WEB_LINE_DEDUP_SQL,
+        "repetition_stats": _REPETITION_STATS_SQL,
+        "pii_masked": _PII_MASKED_SQL,
+        "quality_weighted_sample": _quality_weighted_sample_sql(),
+        "doc_length_quantiles": _DOC_LENGTH_QUANTILES_SQL,
         # groups oracles are connected components over the EXACT pair
         # graphs (all-pairs Jaccard / hamming), so they also re-verify
         # that the star-collapsed candidate generation loses no

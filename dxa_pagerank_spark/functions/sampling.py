@@ -97,6 +97,55 @@ def stratified_sample(
     return df.filter(hash_bucket(key, salt) < threshold)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key: str | Column,
+    weight: str | Column,
+    power: int = 1,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-row deterministic keep-probability = weight^power, with
+    weight in [0, 1] (e.g. the composite quality score) — the standard
+    quality-proportional re-weighting of a web corpus (upsample clean
+    prose, downsample boilerplate) without a shuffle.
+
+    `power` sharpens the preference (an integer temperature knob:
+    power=1 keeps proportional to weight; power=2 quadratically favors
+    high-quality docs). It is an INTEGER so the threshold is a fixed
+    left-to-right chain of double multiplies — bit-identical in any
+    IEEE-754 engine, which keeps the decision SQL-oracle-exact
+    (fractional powers would route through pow/exp whose last-ulp
+    behavior is libm-specific).
+
+    Same shape as hash_sample: one pure column predicate, zero
+    shuffles, pushdown-friendly.
+    """
+    key = F.col(key) if isinstance(key, str) else key
+    weight = F.col(weight) if isinstance(weight, str) else weight
+    if power < 1:
+        raise ValueError(f"power {power} must be a positive integer")
+    threshold = weight.cast("double")
+    for _ in range(power - 1):
+        threshold = threshold * weight.cast("double")
+    return df.filter(
+        hash_bucket(key, salt).cast("double") < threshold * F.lit(float(MOD))
+    )
+
+
+def weighted_sample_sql_predicate(
+    key_sql: str, weight_sql: str, power: int = 1, salt: int = 0
+) -> str:
+    """DuckDB mirror of weighted_sample's filter: same fold, same
+    multiply chain, same threshold arithmetic."""
+    threshold = f"CAST(({weight_sql}) AS DOUBLE)"
+    for _ in range(power - 1):
+        threshold = f"({threshold} * CAST(({weight_sql}) AS DOUBLE))"
+    return (
+        f"CAST(((({key_sql} + {salt}) % {_FOLD} + {_FOLD}) % {_FOLD}"
+        f" * {KNUTH}) % {MOD} AS DOUBLE) < {threshold} * {float(MOD)}"
+    )
+
+
 def sample_sql_predicate(key_sql: str, rate: float, salt: int = 0) -> str:
     """The DuckDB-side mirror of hash_sample's filter, for oracle SQL:
     same fold, same multiply, same threshold."""

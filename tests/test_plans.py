@@ -194,3 +194,40 @@ def test_walks_and_bfs_jvm_only(spark):
         plan = _plan(df)
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_webtext_filters_plans(spark):
+    """r03 webtext additions stay JVM-only with the intended shapes:
+    line-dedup broadcasts the boilerplate table into the anti-join and
+    partial-aggregates the line counts; repetition stats build n-grams
+    as array expressions (no Python) with one map-side-combined
+    explode shuffle; PII masking and weighted sampling are pure column
+    programs — no exchange at all."""
+    from dxa_pagerank_spark.functions.boilerplate import remove_boilerplate
+    from dxa_pagerank_spark.functions.pii import mask_pii
+    from dxa_pagerank_spark.functions.repetition import repetition_stats
+    from dxa_pagerank_spark.functions.sampling import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(0, "a\nb", 0.5), (1, "a\nc", 0.9)],
+        "doc_id long, text string, w double",
+    )
+
+    cleaned = _plan(remove_boilerplate(docs, id_col="doc_id"))
+    assert "BatchEvalPython" not in cleaned
+    assert "ArrowEvalPython" not in cleaned
+    assert "BroadcastHashJoin" in cleaned  # boiler set broadcast, anti
+    assert "CartesianProduct" not in cleaned
+
+    rep = _plan(repetition_stats(docs))
+    assert "BatchEvalPython" not in rep
+    assert "ArrowEvalPython" not in rep
+    assert rep.count("HashAggregate") >= 2  # map-side partial combine
+
+    masked = _plan(mask_pii(docs))
+    assert "Exchange" not in masked  # pure column transform
+    assert "BatchEvalPython" not in masked
+
+    sampled = _plan(weighted_sample(docs, "doc_id", "w", power=2))
+    assert "Exchange" not in sampled  # pure filter, zero shuffles
+    assert "BatchEvalPython" not in sampled

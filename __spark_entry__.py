@@ -888,6 +888,52 @@ def q_quality_weighted_sample(spark, sf_dir):
     return weighted_sample(docs, "doc_id", "quality", power=2, salt=3)
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF-flat ANN (functions/similarity.ivf_topk): deterministic
+    arithmetic-sample centroids, corpus assigned by literal-expression
+    argmax-cosine (scan, no shuffle), nprobe=4 of 16 lists probed per
+    query — the third ANN strategy next to brute force and LSH."""
+    from dxa_pagerank_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
+
+
+def q_bucketed_gather(spark, sf_dir):
+    """Storage-co-located PageRank gather step (plans/bucketing.py):
+    adjacency and out-degree tables written hash-bucketed+sorted by
+    src, then the gather equi-join runs with ZERO Exchange (plan
+    pinned in tests/test_bucketing.py) — the storage form of the df
+    loop's partition-once-reuse-every-round law. Result: per-dst
+    incoming normalized mass (one superstep's contribution table)."""
+    import tempfile
+
+    from dxa_pagerank_spark.plans.bucketing import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    edges = _edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    tmp = tempfile.mkdtemp(prefix="bucketed_gather_")
+    write_bucketed(edges, "q_edges_b", "src", 8, path=f"{tmp}/edges")
+    write_bucketed(deg, "q_deg_b", "src", 8, path=f"{tmp}/deg")
+    return (
+        colocated_join(spark, "q_edges_b", "q_deg_b", "src")
+        .groupBy("dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.round(F.sum(1.0 / F.col("out_deg")), 6).alias("mass"),
+        )
+    )
+
+
 def q_doc_length_quantiles(spark, sf_dir):
     """Per-language exact length quartiles (linear interpolation — the
     corpus-shape report a data lead reads before choosing curation
@@ -925,6 +971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_masked": q_pii_masked,
         "quality_weighted_sample": q_quality_weighted_sample,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "bucketed_gather": q_bucketed_gather,
         "doc_length_quantiles": q_doc_length_quantiles,
         "out_degrees": q_out_degrees,
         "degree_distribution": q_degree_distribution,
@@ -1829,6 +1877,40 @@ def _quality_weighted_sample_sql() -> str:
     """
 
 
+# IVF-flat ANN (functions/similarity.ivf_topk): centroids are the
+# arithmetic sample vec_id % stride == 0 (stride = n // 16), corpus and
+# queries assign by max-cosine (ties to smaller cid), queries probe the
+# 4 nearest lists, exact re-rank inside.
+_ANN_TOPK_IVF_SQL = """
+    WITH nn AS (SELECT count(*) // 16 AS stride FROM embeddings),
+    cents AS MATERIALIZED (
+        SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+        WHERE vec_id % (SELECT stride FROM nn) = 0
+          AND vec_id < (SELECT stride FROM nn) * 16),
+    assign AS MATERIALIZED (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+                            DESC, c.cid) AS r
+        FROM embeddings e CROSS JOIN cents c),
+    lists AS (SELECT cid, vec_id, v FROM assign WHERE r = 1),
+    qprobe AS (
+        SELECT a.vec_id AS query_id, a.v AS qv, a.cid
+        FROM assign a WHERE a.vec_id < 5 AND a.r <= 4),
+    scored AS (
+        SELECT p.query_id, l.vec_id,
+               list_cosine_similarity(p.qv, l.v) AS cos
+        FROM lists l JOIN qprobe p ON l.cid = p.cid),
+    ranked AS (
+        SELECT query_id, vec_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, vec_id) AS rnk
+        FROM scored)
+    SELECT query_id, vec_id, round(cos, 6) AS cos_sim, rnk::INT AS rnk
+    FROM ranked WHERE rnk <= 10
+"""
+
 _DOC_LENGTH_QUANTILES_SQL = """
     SELECT lang, count(*) AS n_docs,
            round(quantile_cont(n_chars::DOUBLE, 0.25), 6) AS p25,
@@ -2243,6 +2325,15 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _REPETITION_STATS_SQL,
         "pii_masked": _PII_MASKED_SQL,
         "quality_weighted_sample": _quality_weighted_sample_sql(),
+        "ann_topk_ivf": _ANN_TOPK_IVF_SQL,
+        "bucketed_gather": f"""
+            WITH edges AS ({_EDGES_SQL}),
+            deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src)
+            SELECT e.dst, count(*) AS n_in,
+                   round(sum(1.0 / d.out_deg), 6) AS mass
+            FROM edges e JOIN deg d ON e.src = d.src
+            GROUP BY e.dst
+        """,
         "doc_length_quantiles": _DOC_LENGTH_QUANTILES_SQL,
         # groups oracles are connected components over the EXACT pair
         # graphs (all-pairs Jaccard / hamming), so they also re-verify

@@ -92,3 +92,75 @@ def test_embedding_near_dup_planted(spark):
         if cos[a, b] >= 0.95
     }
     assert got <= truth
+
+
+def _numpy_ivf_topk(vecs, query_ids, k, n_centroids, nprobe):
+    """Pure-NumPy replica of ivf_topk's deterministic index rule."""
+    v = np.asarray(vecs)
+    n = len(v)
+    stride = max(n // n_centroids, 1)
+    cids = [i for i in range(0, stride * n_centroids, stride)]
+    norms = np.linalg.norm(v, axis=1)
+
+    def nearest(i, m):
+        cos = [
+            ((v[i] @ v[c]) / (norms[i] * norms[c]), -c) for c in cids
+        ]
+        return [-c for _, c in sorted(cos, key=lambda t: (-t[0], -t[1]))[:m]]
+
+    assign = {i: nearest(i, 1)[0] for i in range(n)}
+    out = {}
+    for q in query_ids:
+        probe = set(nearest(q, nprobe))
+        cand = [i for i in range(n) if assign[i] in probe]
+        cos = {i: (v[q] @ v[i]) / (norms[q] * norms[i]) for i in cand}
+        order = sorted(cand, key=lambda i: (-cos[i], i))[:k]
+        out[q] = [(i, round(float(cos[i]), 6)) for i in order]
+    return out
+
+
+def test_ivf_topk_matches_numpy_replica(spark):
+    from dxa_pagerank_spark.functions.similarity import ivf_topk
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((200, 16))
+    df = _emb_df(spark, vecs)
+    queries = df.filter(F.col("vec_id") < 3).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    got = {}
+    for r in ivf_topk(df, queries, k=5, n_centroids=8, nprobe=3).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rnk"], r["vec_id"], r["cos_sim"])
+        )
+    want = _numpy_ivf_topk(vecs, [0, 1, 2], 5, 8, 3)
+    for q in (0, 1, 2):
+        rows = [(i, c) for _, i, c in sorted(got[q])]
+        assert rows == want[q], q
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """nprobe=all lists == exact brute force; small nprobe keeps the
+    query itself (same-list guarantee) and decent recall on clustered
+    data."""
+    from dxa_pagerank_spark.functions.similarity import ivf_topk
+
+    rng = np.random.default_rng(10)
+    centers = rng.standard_normal((4, 16)) * 5
+    vecs = np.vstack([
+        centers[i % 4] + rng.standard_normal(16) * 0.3 for i in range(160)
+    ])
+    df = _emb_df(spark, vecs)
+    queries = df.filter(F.col("vec_id") < 4).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    exact = _numpy_topk(vecs, [0, 1, 2, 3], 10)
+    approx = {}
+    for r in ivf_topk(df, queries, k=10, n_centroids=8, nprobe=2).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(approx[q] & {i for i, _ in exact[q]}) / 10 for q in (0, 1, 2, 3)
+    ]
+    assert min(recalls) >= 0.5 and sum(recalls) / 4 >= 0.7
+    for q in (0, 1, 2, 3):
+        assert q in approx[q]  # a query always probes its own list

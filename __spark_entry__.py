@@ -905,6 +905,80 @@ def q_ann_topk_ivf(spark, sf_dir):
     return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
 
 
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization (functions/urlnorm.py) over four messy
+    spellings generated arithmetically per doc_id (case, default port,
+    fragment, tracking params, unsorted query). Engine runs the real
+    column-program canonicalizer; the oracle states the closed-form
+    expected string per case."""
+    from dxa_pagerank_spark.functions.urlnorm import canonicalize_urls
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    messy = (
+        F.when(i % 4 == 0, F.concat(F.lit("HTTP://Example.ORG:80/doc/"), s,
+                                    F.lit("?utm_source=feed&b="), s,
+                                    F.lit("&a=1#top")))
+        .when(i % 4 == 1, F.concat(F.lit("https://EXAMPLE.org:443/doc/"), s))
+        .when(i % 4 == 2, F.concat(F.lit("https://Example.org/?fbclid="), s))
+        .otherwise(F.concat(F.lit("http://example.org/A/B?z=26&y=25&x="), s))
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", messy.alias("url"))
+    return canonicalize_urls(docs)
+
+
+def q_latest_snapshots(spark, sf_dir):
+    """Crawl-snapshot merge (functions/snapshots.latest_snapshot):
+    every third page is re-crawled one day later with amended text;
+    latest-wins per url with a per-url snapshot count. Timestamps
+    compared as epoch seconds (tz-independent)."""
+    from dxa_pagerank_spark.functions.snapshots import latest_snapshot
+
+    pages = _web_pages(spark, sf_dir).select("url", "warc_ts", "text")
+    pid = F.regexp_extract("url", r"([0-9]+)$", 1).cast("long")
+    rec = pages.filter(pid % 3 == 0).select(
+        "url",
+        (F.col("warc_ts") + F.expr("INTERVAL 1 DAY")).alias("warc_ts"),
+        F.concat(F.col("text"), F.lit("\nrecrawl")).alias("text"),
+    )
+    merged = latest_snapshot(pages.unionByName(rec))
+    return merged.select(
+        "url",
+        F.col("warc_ts").cast("long").alias("ts_epoch"),
+        "n_snapshots",
+        "text",
+    )
+
+
+def q_training_mix_report(spark, sf_dir):
+    """The composed corpus pipeline a training run starts from
+    (exact dedup -> Gopher repetition gates -> quality floor ->
+    quality-weighted sampling), reported per source — exercises four
+    operators chained, with the whole chain mirrored in one SQL
+    oracle."""
+    from dxa_pagerank_spark.functions.dedup import exact_dedup
+    from dxa_pagerank_spark.functions.repetition import repetition_filter
+    from dxa_pagerank_spark.functions.sampling import weighted_sample
+    from dxa_pagerank_spark.functions.textstats import (
+        quality_col,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = repetition_filter(exact_dedup(docs))
+    scored = kept.select(
+        "doc_id", "source",
+        quality_col(F.col("text")).alias("quality"),
+        token_count(F.col("text")).alias("n_tokens"),
+    ).filter(F.col("quality") >= 0.5)
+    sampled = weighted_sample(scored, "doc_id", "quality", power=1, salt=5)
+    return sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
 def q_bucketed_gather(spark, sf_dir):
     """Storage-co-located PageRank gather step (plans/bucketing.py):
     adjacency and out-degree tables written hash-bucketed+sorted by
@@ -973,6 +1047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_weighted_sample": q_quality_weighted_sample,
         "ann_topk_ivf": q_ann_topk_ivf,
         "bucketed_gather": q_bucketed_gather,
+        "url_canonical": q_url_canonical,
+        "latest_snapshots": q_latest_snapshots,
+        "training_mix_report": q_training_mix_report,
         "doc_length_quantiles": q_doc_length_quantiles,
         "out_degrees": q_out_degrees,
         "degree_distribution": q_degree_distribution,
@@ -1911,6 +1988,113 @@ _ANN_TOPK_IVF_SQL = """
     FROM ranked WHERE rnk <= 10
 """
 
+# URL canonicalization: input AND expected output are both closed-form
+# arithmetic cases of doc_id (functions/urlnorm.py rules).
+_URL_CANONICAL_SQL = """
+    SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 0 THEN 'HTTP://Example.ORG:80/doc/' || doc_id
+                         || '?utm_source=feed&b=' || doc_id || '&a=1#top'
+             WHEN 1 THEN 'https://EXAMPLE.org:443/doc/' || doc_id
+             WHEN 2 THEN 'https://Example.org/?fbclid=' || doc_id
+             ELSE 'http://example.org/A/B?z=26&y=25&x=' || doc_id
+           END AS url,
+           CASE doc_id % 4
+             WHEN 0 THEN 'http://example.org/doc/' || doc_id
+                         || '?a=1&b=' || doc_id
+             WHEN 1 THEN 'https://example.org/doc/' || doc_id
+             WHEN 2 THEN 'https://example.org'
+             ELSE 'http://example.org/A/B?x=' || doc_id || '&y=25&z=26'
+           END AS canonical_url
+    FROM documents
+"""
+
+# Snapshot merge: regenerate the crawl + its day-later recrawl of every
+# third page arithmetically, latest-wins per url in SQL.
+_LATEST_SNAPSHOTS_SQL = """
+    WITH base AS MATERIALIZED (
+        SELECT doc_id,
+               'https://example.org/doc/' || doc_id AS url,
+               1704067200 + doc_id AS ts_epoch,
+               'Doc ' || doc_id || chr(10)
+                 || 'Synthetic page ' || doc_id || ' of '
+                 || (SELECT count(*) FROM documents) || '.'
+                 || CASE WHEN doc_id % 10 <> 0 THEN
+                        chr(10) || 'next' || chr(10) || 'rel'
+                        || CASE WHEN doc_id % 3 = 0
+                                THEN chr(10) || 'again' ELSE '' END
+                    ELSE '' END
+                 || chr(10) || 'mail' AS text
+        FROM documents),
+    snaps AS (
+        SELECT url, ts_epoch, text FROM base
+        UNION ALL
+        SELECT url, ts_epoch + 86400, text || chr(10) || 'recrawl'
+        FROM base WHERE doc_id % 3 = 0),
+    ranked AS (
+        SELECT url, ts_epoch, text,
+               row_number() OVER (PARTITION BY url
+                                  ORDER BY ts_epoch DESC, md5(text)) AS rn,
+               count(*) OVER (PARTITION BY url) AS n_snapshots
+        FROM snaps)
+    SELECT url, ts_epoch, n_snapshots::BIGINT AS n_snapshots, text
+    FROM ranked WHERE rn = 1
+"""
+
+
+def _training_mix_sql() -> str:
+    """The full curation chain in one SQL statement: md5 min-id dedup,
+    Gopher repetition gates (same rounded fractions as the engine),
+    quality floor, weighted-sample predicate, per-source report."""
+    from dxa_pagerank_spark.functions.sampling import (
+        weighted_sample_sql_predicate,
+    )
+
+    pred = weighted_sample_sql_predicate("doc_id", "quality", power=1, salt=5)
+    return f"""
+        WITH kept0 AS MATERIALIZED (
+            SELECT d.* FROM documents d
+            JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                  FROM documents GROUP BY md5(text)) k
+              ON d.doc_id = k.doc_id),
+        toks AS (SELECT doc_id,
+                        list_filter(string_split(text, ' '), t -> t <> '') AS l
+                 FROM kept0),
+        g AS (
+            SELECT doc_id, 2 AS n,
+                   CASE WHEN len(l) >= 2 THEN list_transform(range(1, len(l)),
+                        i -> l[i] || ' ' || l[i+1]) ELSE [] END AS grams
+            FROM toks
+            UNION ALL
+            SELECT doc_id, 3,
+                   CASE WHEN len(l) >= 3 THEN
+                        list_transform(range(1, len(l) - 1),
+                        i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+                   ELSE [] END
+            FROM toks),
+        ex AS (SELECT doc_id, n, unnest(grams) AS gram FROM g),
+        pg AS (SELECT doc_id, n, gram, count(*) AS cnt FROM ex
+               GROUP BY doc_id, n, gram),
+        agg AS (SELECT doc_id, n, sum(cnt) AS total, count(*) AS dist,
+                       max(cnt) AS top
+                FROM pg GROUP BY doc_id, n),
+        bad AS (SELECT DISTINCT doc_id FROM agg
+                WHERE (n = 2 AND round(top::DOUBLE / total::DOUBLE, 9) > 0.18)
+                   OR (n = 3 AND round((total - dist)::DOUBLE
+                                       / total::DOUBLE, 9) > 0.30)),
+        scored AS (
+            SELECT doc_id, source, {_QUALITY_EXPR_SQL} AS quality,
+                   len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT
+                       AS n_tokens
+            FROM kept0
+            WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        samp AS (SELECT * FROM scored WHERE quality >= 0.5 AND {pred})
+        SELECT source, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+               round(avg(quality), 6) AS avg_quality
+        FROM samp GROUP BY source
+    """
+
+
 _DOC_LENGTH_QUANTILES_SQL = """
     SELECT lang, count(*) AS n_docs,
            round(quantile_cont(n_chars::DOUBLE, 0.25), 6) AS p25,
@@ -2335,6 +2519,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY e.dst
         """,
         "doc_length_quantiles": _DOC_LENGTH_QUANTILES_SQL,
+        "url_canonical": _URL_CANONICAL_SQL,
+        "latest_snapshots": _LATEST_SNAPSHOTS_SQL,
+        "training_mix_report": _training_mix_sql(),
         # groups oracles are connected components over the EXACT pair
         # graphs (all-pairs Jaccard / hamming), so they also re-verify
         # that the star-collapsed candidate generation loses no

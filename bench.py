@@ -120,6 +120,16 @@ def main() -> None:
         "events_window_sf",
         lambda: entrymod.q_events_window_agg(spark, SF_DIR).count(),
     )
+    timed(
+        "line_dedup_sf",
+        lambda: entrymod.q_web_line_dedup(spark, SF_DIR).agg(
+            F.sum("n_lines_dropped")
+        ).collect(),
+    )
+    timed(
+        "ann_topk_ivf_sf",
+        lambda: entrymod.q_ann_topk_ivf(spark, SF_DIR).count(),
+    )
 
     # --- synthetic PageRank hot loop: the BASELINE.json metric ---
     # csr (the north_star kernel) is the headline; the general df loop

@@ -979,6 +979,54 @@ def q_training_mix_report(spark, sf_dir):
     )
 
 
+def q_first_seen_dedup(spark, sf_dir):
+    """First-seen-wins feed dedup (streaming/dedup.py batch form; the
+    streaming form with dropDuplicatesWithinWatermark is parity-pinned
+    in tests/test_streaming_dedup.py): documents arrive at
+    epoch+doc_id, a full duplicate wave arrives 10 minutes later under
+    new ids — every winner is an original."""
+    from dxa_pagerank_spark.streaming.dedup import dedup_batch
+
+    base = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id")).alias("ts"),
+        "text",
+    )
+    dupes = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("ts"),
+        "text",
+    )
+    out = dedup_batch(base.unionByName(dupes))
+    return out.select(
+        "content_hash",
+        "doc_id",
+        F.col("ts").cast("long").alias("ts_epoch"),
+    )
+
+
+def q_lm_quality(spark, sf_dir):
+    """Per-document unigram LM score (functions/lmscore.py): mean
+    -ln p(token) under the corpus's own MLE unigram model — the
+    deterministic core of CCNet-style LM filtering; cuts both the
+    over-represented (spam) and rare-token (gibberish) tails."""
+    from dxa_pagerank_spark.functions.lmscore import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination (functions/lmscore.contaminated_ids):
+    documents sharing any 3-gram with the 'benchmark' set (the first 5
+    documents) — the GPT-3/Gopher-recipe n-gram-overlap check as a
+    broadcast semi-join."""
+    from dxa_pagerank_spark.functions.lmscore import contaminated_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 5)
+    return contaminated_ids(docs, bench, n=3)
+
+
 def q_bucketed_gather(spark, sf_dir):
     """Storage-co-located PageRank gather step (plans/bucketing.py):
     adjacency and out-degree tables written hash-bucketed+sorted by
@@ -1050,6 +1098,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "latest_snapshots": q_latest_snapshots,
         "training_mix_report": q_training_mix_report,
+        "first_seen_dedup": q_first_seen_dedup,
+        "lm_quality": q_lm_quality,
+        "decontamination": q_decontamination,
         "doc_length_quantiles": q_doc_length_quantiles,
         "out_degrees": q_out_degrees,
         "degree_distribution": q_degree_distribution,
@@ -2522,6 +2573,57 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": _URL_CANONICAL_SQL,
         "latest_snapshots": _LATEST_SNAPSHOTS_SQL,
         "training_mix_report": _training_mix_sql(),
+        "lm_quality": """
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS term
+                FROM documents),
+            pd AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                   GROUP BY doc_id, term),
+            vocab AS (SELECT term, sum(tf) AS ctf FROM pd GROUP BY term),
+            tot AS (SELECT sum(ctf)::DOUBLE AS t FROM vocab),
+            agg AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+                           sum(tf * -ln(ctf / (SELECT t FROM tot))) AS nll
+                    FROM pd JOIN vocab USING (term) GROUP BY doc_id)
+            SELECT d.doc_id AS id,
+                   coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
+                   round(CASE WHEN coalesce(agg.n_tokens, 0) > 0
+                              THEN agg.nll / agg.n_tokens
+                              ELSE 0.0 END, 6) AS mean_neg_logprob
+            FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
+        "decontamination": """
+            WITH tl AS MATERIALIZED (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), t -> t <> '') AS l
+                FROM documents),
+            grams AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(l) >= 3 THEN
+                              list_transform(range(1, len(l) - 1),
+                                  i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+                              ELSE [] END) AS gram
+                FROM tl),
+            bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 5)
+            SELECT DISTINCT doc_id AS id FROM grams
+            WHERE gram IN (SELECT gram FROM bench)
+        """,
+        "first_seen_dedup": """
+            WITH base AS (
+                SELECT doc_id, 1704067200 + doc_id AS ts_epoch, text
+                FROM documents),
+            feed AS (
+                SELECT doc_id, ts_epoch, text FROM base
+                UNION ALL
+                SELECT doc_id + 1000000, ts_epoch + 600, text FROM base),
+            ranked AS (
+                SELECT md5(text) AS content_hash, doc_id, ts_epoch,
+                       row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY ts_epoch, doc_id) AS rn
+                FROM feed)
+            SELECT content_hash, doc_id, ts_epoch FROM ranked WHERE rn = 1
+        """,
         # groups oracles are connected components over the EXACT pair
         # graphs (all-pairs Jaccard / hamming), so they also re-verify
         # that the star-collapsed candidate generation loses no

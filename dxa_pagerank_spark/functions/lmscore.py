@@ -1,0 +1,131 @@
+"""Statistical language-model quality scoring and benchmark
+decontamination. [north_rule extension — no reference counterpart]
+
+Two corpus-level text signals every LLM data pipeline runs:
+
+* **Unigram log-probability scoring** — the deterministic core of
+  CCNet-style LM filtering (Wenzek et al. 2019 use a KenLM 5-gram; the
+  unigram MLE over the corpus itself is the engine-native, oracle-exact
+  form): score(doc) = mean over tokens of -ln p(token), with
+  p = corpus_count(token) / corpus_total. Template spam and
+  keyword-stuffed pages score LOW (their tokens are over-represented);
+  rare-token gibberish scores HIGH; both tails get cut.
+
+* **Decontamination** — drop training documents that share any n-gram
+  with a benchmark/eval set (the published recipe in GPT-3/Gopher/Llama
+  reports; they use 8-13-grams, parameterized here). Implemented as a
+  semi-/anti-join of the document n-gram stream against the (small)
+  benchmark n-gram set.
+
+100-TB shape: scoring is the terms.py envelope — one (doc, term)
+explode shuffle with map-side combine, the vocabulary table broadcast
+back. Decontamination's benchmark n-gram set is benchmark-sized
+(thousands of docs), so it broadcasts; the corpus side streams its
+n-grams through a broadcast semi-join probe — no corpus shuffle at
+all when only the verdict per doc is needed (aggregate to doc ids,
+then anti-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .repetition import ngram_array
+
+
+def unigram_logprob(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (id, n_tokens, mean_neg_logprob): per-document mean unigram
+    negative log-probability under the corpus's own MLE unigram model.
+    Deterministic: p is a ratio of exact counts; the per-doc mean sums
+    token -ln(p) values ordered by groupBy — engine parity is kept by
+    rounding to 6 places AND by summing ln(p) of per-(doc, term) pairs
+    as count * ln(p) (one float product per distinct pair, identical
+    association in SQL). Documents with no tokens report 0 tokens and
+    a 0.0 score."""
+    toks = documents.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(
+            F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+        ).alias("term"),
+    )
+    per_doc = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # corpus totals: term counts and the grand total (both exact longs)
+    vocab = per_doc.filter(F.col("term").isNotNull()).groupBy("term").agg(
+        F.sum("tf").alias("ctf")
+    )
+    total = (
+        vocab.agg(F.sum("ctf").alias("t")).collect()[0]["t"] or 0
+    )
+    scored = per_doc.join(F.broadcast(vocab), "term", "left").groupBy(
+        "id"
+    ).agg(
+        F.sum(F.when(F.col("term").isNotNull(), F.col("tf")).otherwise(0))
+        .cast("long")
+        .alias("n_tokens"),
+        F.sum(
+            F.when(
+                F.col("term").isNotNull(),
+                F.col("tf")
+                * -F.log(F.col("ctf") / F.lit(float(max(total, 1)))),
+            ).otherwise(0.0)
+        ).alias("nll_sum"),
+    )
+    return scored.select(
+        "id",
+        "n_tokens",
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0, F.col("nll_sum") / F.col("n_tokens")
+            ).otherwise(0.0),
+            6,
+        ).alias("mean_neg_logprob"),
+    )
+
+
+def contaminated_ids(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """-> (id): documents sharing at least one n-gram with the
+    benchmark set. The benchmark n-gram set is distinct-collected and
+    broadcast; the corpus n-gram stream probes it with a semi-join."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(ngram_array(F.col(bench_text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = documents.select(
+        F.col(id_col).alias("id"),
+        F.explode(ngram_array(F.col(text_col), n)).alias("gram"),
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram", "left_semi")
+        .select("id")
+        .distinct()
+    )
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Documents with every benchmark-overlapping doc removed (columns
+    unchanged — composable with the curation chain)."""
+    bad = contaminated_ids(
+        documents, benchmark, n, id_col, text_col, bench_text_col
+    ).withColumnRenamed("id", id_col)
+    return documents.join(F.broadcast(bad), id_col, "left_anti")

@@ -182,3 +182,23 @@ def test_weighted_sample_matches_arithmetic(spark):
         # sanity: higher weight keeps more rows
     w0 = weighted_sample(df, "doc_id", "w", power=1).filter(F.col("w") == 0.0)
     assert w0.count() == 0  # weight 0 keeps nothing
+
+
+def test_weighted_sample_monotone_in_weight(spark):
+    """Property: for a fixed key and salt, raising the weight can only
+    ADD rows to the kept set (the hash is weight-independent, only the
+    threshold moves)."""
+    from dxa_pagerank_spark.functions.sampling import weighted_sample
+
+    rows = [(i, 0.3, min(0.3 + (i % 7) / 10.0, 1.0)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lo double, hi double")
+    kept_lo = {
+        r["doc_id"]
+        for r in weighted_sample(df, "doc_id", "lo", power=2, salt=11).collect()
+    }
+    kept_hi = {
+        r["doc_id"]
+        for r in weighted_sample(df, "doc_id", "hi", power=2, salt=11).collect()
+    }
+    assert kept_lo <= kept_hi
+    assert len(kept_hi) > len(kept_lo)  # strictly more at higher weight

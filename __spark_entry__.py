@@ -2130,9 +2130,10 @@ def _training_mix_sql() -> str:
                        max(cnt) AS top
                 FROM pg GROUP BY doc_id, n),
         bad AS (SELECT DISTINCT doc_id FROM agg
-                WHERE (n = 2 AND round(top::DOUBLE / total::DOUBLE, 9) > 0.18)
-                   OR (n = 3 AND round((total - dist)::DOUBLE
-                                       / total::DOUBLE, 9) > 0.30)),
+                WHERE total >= 20  -- repetition_filter min_grams floor
+                  AND ((n = 2 AND round(top::DOUBLE / total::DOUBLE, 9) > 0.18)
+                    OR (n = 3 AND round((total - dist)::DOUBLE
+                                        / total::DOUBLE, 9) > 0.30))),
         scored AS (
             SELECT doc_id, source, {_QUALITY_EXPR_SQL} AS quality,
                    len(regexp_extract_all(text, '[A-Za-z]+'))::BIGINT

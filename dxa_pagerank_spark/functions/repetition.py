@@ -111,13 +111,28 @@ def repetition_filter(
     text_col: str = "text",
     max_top_bigram_frac: float = 0.18,
     max_dup_trigram_frac: float = 0.30,
+    min_grams: int = 20,
 ) -> DataFrame:
     """Documents passing the Gopher repetition gates (thresholds are
     the published Table A1 values for 2-/3-grams). Returns the input
-    columns unchanged — composable with functions/curation.py."""
+    columns unchanged — composable with functions/curation.py.
+
+    ``min_grams``: gates only apply to documents with at least this
+    many n-grams of the order being tested. A 6-token page has 5
+    bigrams, so its top bigram covers >= 20% by pigeonhole and the
+    0.18 threshold would reject ALL short documents — the published
+    filters likewise apply above a length floor. Short docs are length
+    -filtered elsewhere (quality_col's length band), not here."""
     stats = repetition_stats(documents, id_col, text_col, ns=(2, 3))
+    long_enough = F.col("total_grams") >= min_grams
     bad = stats.filter(
-        ((F.col("n") == 2) & (F.col("top_gram_frac") > max_top_bigram_frac))
-        | ((F.col("n") == 3) & (F.col("dup_gram_frac") > max_dup_trigram_frac))
+        long_enough
+        & (
+            ((F.col("n") == 2) & (F.col("top_gram_frac") > max_top_bigram_frac))
+            | (
+                (F.col("n") == 3)
+                & (F.col("dup_gram_frac") > max_dup_trigram_frac)
+            )
+        )
     ).select(F.col("id").alias(id_col)).distinct()
     return documents.join(F.broadcast(bad), id_col, "left_anti")

@@ -231,3 +231,30 @@ def test_webtext_filters_plans(spark):
     sampled = _plan(weighted_sample(docs, "doc_id", "w", power=2))
     assert "Exchange" not in sampled  # pure filter, zero shuffles
     assert "BatchEvalPython" not in sampled
+
+
+def test_lmscore_plans(spark):
+    """LM scoring keeps the terms.py envelope (one explode shuffle,
+    map-side combine, vocabulary broadcast back); decontamination
+    probes a broadcast benchmark n-gram set with a semi-join — no
+    corpus shuffle before the verdict aggregate, no Python anywhere."""
+    from dxa_pagerank_spark.functions.lmscore import (
+        contaminated_ids,
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "b c d e")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "a b c")], "doc_id long, text string")
+
+    lm = _plan(unigram_logprob(docs))
+    assert "BatchEvalPython" not in lm
+    assert "ArrowEvalPython" not in lm
+    assert lm.count("HashAggregate") >= 2  # map-side partial combine
+    assert "BroadcastHashJoin" in lm  # vocab joins back broadcast
+
+    dc = _plan(contaminated_ids(docs, bench, n=3))
+    assert "BatchEvalPython" not in dc
+    assert "BroadcastHashJoin" in dc  # benchmark set broadcast semi-join
+    assert "CartesianProduct" not in dc

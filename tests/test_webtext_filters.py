@@ -133,11 +133,18 @@ def test_repetition_stats_matches_python_oracle(spark):
 
 def test_repetition_filter_drops_spam(spark):
     df = spark.createDataFrame(REP_DOCS, "doc_id long, text string")
-    kept = sorted(r["doc_id"] for r in repetition_filter(df).collect())
+    kept = sorted(
+        r["doc_id"] for r in repetition_filter(df, min_grams=1).collect()
+    )
     # docs 0 and 1 are pure repetition (top bigram frac 1.0 / 0.57);
     # 2 is clean (top bigram frac 1/6); 3 and 4 have no grams at all
     # and must survive (a too-short doc is not a repetition failure).
     assert kept == [2, 3, 4]
+    # default min_grams=20 exempts ALL these tiny docs — the gates
+    # only fire above the length floor (pigeonhole: a 6-token doc can
+    # never pass 0.18)
+    kept_default = sorted(r["doc_id"] for r in repetition_filter(df).collect())
+    assert kept_default == [0, 1, 2, 3, 4]
 
 
 PII_DOCS = [

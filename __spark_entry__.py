@@ -1070,9 +1070,104 @@ def q_doc_length_quantiles(spark, sf_dir):
     )
 
 
+_PACK_L = 512
+
+
+def q_sequence_packing(spark, sf_dir):
+    """Concat-and-chop sequence packing (functions/packing.py): docs
+    in id order, token stream chopped into 512-token training windows;
+    per doc its stream span and window range. Engine side is the
+    distributed two-pass prefix sum (range partition + per-partition
+    window, NO single-partition exchange); the oracle is the plain
+    global window cumsum it must equal."""
+    from dxa_pagerank_spark.functions.packing import (
+        pack_documents,
+        token_count_col,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens")
+    )
+    return pack_documents(d, _PACK_L, tokens_col="n_tokens")
+
+
+def q_packing_report(spark, sf_dir):
+    """1-row packing audit: total docs/tokens, 512-token window count,
+    boundary-straddling docs, last-window fill."""
+    from dxa_pagerank_spark.functions.packing import (
+        pack_documents,
+        packing_report,
+        token_count_col,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_col(F.col("text")).alias("n_tokens")
+    )
+    return packing_report(pack_documents(d, _PACK_L, tokens_col="n_tokens"), _PACK_L)
+
+
+def q_dsir_sample(spark, sf_dir):
+    """DSIR importance resampling (functions/dsir.py, Xie et al. 2023):
+    hashed uni+bigram bucket models, target = lang='en' docs, source =
+    whole corpus; Gumbel top-100 by log importance weight. Broadcast
+    ratio table, top-k select — the corpus never shuffles wider than
+    doc_id."""
+    from dxa_pagerank_spark.functions.dsir import dsir_sample
+
+    d = _t(spark, sf_dir, "documents")
+    out = dsir_sample(d, F.col("lang") == "en", k=100, n_buckets=256)
+    return out.select(
+        "id",
+        "n_feats",
+        F.round("log_w", 6).alias("log_w"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_web_katz(spark, sf_dir):
+    """Katz centrality over the page link graph (operators/katz.py):
+    x_{t+1} = beta + alpha * A^T x_t, 5 rounds — attenuated in-path
+    counting, the PageRank-family centrality without degree
+    normalisation. The oracle unrolls the identical recurrence."""
+    from dxa_pagerank_spark.operators.katz import katz_centrality
+
+    return katz_centrality(
+        spark, _web_edges(spark, sf_dir), alpha=0.1, beta=1.0, rounds=5
+    ).select("id", F.round("score", 6).alias("score"))
+
+
+def q_web_harmonic(spark, sf_dir):
+    """Truncated harmonic centrality H(v) = sum over u reaching v
+    within 6 hops of 1/d(u,v) — computed by the HyperBall ball
+    recurrence in exact (distinct-array) mode over reversed edges
+    (operators/neighborhood.py; the hll sketch mode is the 100-TB
+    form, pinned against this one in pytest). The oracle recomputes
+    all-pairs truncated min-distances via a recursive CTE."""
+    from dxa_pagerank_spark.operators.neighborhood import harmonic_centrality
+
+    return harmonic_centrality(spark, _web_edges(spark, sf_dir), rounds=6).select(
+        "id", F.round("harmonic", 6).alias("harmonic")
+    )
+
+
+def q_web_neighborhood(spark, sf_dir):
+    """Neighborhood function N(t) = #pairs (u,w) with d(u,w) <= t for
+    t in 0..6 — the curve behind average-distance / effective-diameter
+    estimates (operators/neighborhood.py, exact mode)."""
+    from dxa_pagerank_spark.operators.neighborhood import neighborhood_function
+
+    return neighborhood_function(spark, _web_edges(spark, sf_dir), rounds=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "web_pagerank": q_web_pagerank,
+        "web_katz": q_web_katz,
+        "web_harmonic": q_web_harmonic,
+        "web_neighborhood": q_web_neighborhood,
+        "sequence_packing": q_sequence_packing,
+        "packing_report": q_packing_report,
+        "dsir_sample": q_dsir_sample,
         "web_page_text": q_web_page_text,
         "anchor_text_stats": q_anchor_text_stats,
         "site_graph": q_site_graph,
@@ -1591,6 +1686,135 @@ _COUPLING_SQL = """
     SELECT x.src AS a, y.src AS b, count(*) AS n_common
     FROM e x JOIN e y ON x.dst = y.dst AND x.src < y.src
     GROUP BY 1, 2
+"""
+
+
+# Global concat-and-chop token spans (functions/packing.py): the
+# one-window cumsum the distributed two-pass prefix sum must equal.
+_PACKING_SPANS_SQL = r"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id AS id,
+               len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens
+        FROM documents),
+    spans AS MATERIALIZED (
+        SELECT id, n_tokens,
+               (sum(n_tokens) OVER (ORDER BY id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens)::BIGINT AS start_offset
+        FROM toks)
+"""
+
+
+def _dsir_sample_sql(k: int, n_buckets: int, target_pred: str) -> str:
+    """Replica of functions/dsir.py: hashed uni+bigram bucket models
+    (FNV-1a-32 % B over the [a-z0-9] tokenization), add-1 smoothing,
+    per-doc log importance weight, Gumbel top-k via the Knuth hash."""
+    B = int(n_buckets)
+    fnv = _fnv32_fold_sql(2166136261)
+    return f"""
+    WITH tl AS MATERIALIZED (
+        SELECT doc_id AS id,
+               list_filter(
+                   string_split_regex(
+                       regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                       ' +'),
+                   x -> x <> '') AS l
+        FROM documents),
+    feats AS MATERIALIZED (
+        SELECT id,
+               unnest(l || CASE WHEN len(l) >= 2 THEN
+                      list_transform(range(1, len(l)),
+                                     i -> l[i] || ' ' || l[i+1])
+                      ELSE [] END) AS tok
+        FROM tl),
+    b AS MATERIALIZED (
+        SELECT id, {fnv} % {B} AS bucket FROM feats),
+    pc AS MATERIALIZED (
+        SELECT id, bucket, count(*) AS n FROM b GROUP BY id, bucket),
+    src AS (SELECT bucket, sum(n) AS c_src FROM pc GROUP BY bucket),
+    tgt AS (SELECT bucket, sum(n) AS c_tgt
+            FROM pc JOIN documents d ON pc.id = d.doc_id
+            WHERE {target_pred} GROUP BY bucket),
+    tot AS (SELECT (SELECT sum(c_src) FROM src)::DOUBLE AS ts,
+                   coalesce((SELECT sum(c_tgt) FROM tgt), 0)::DOUBLE AS tt),
+    ratio AS (SELECT src.bucket,
+                     ln((coalesce(c_tgt, 0) + 1.0) / (tt + {B}))
+                     - ln((c_src + 1.0) / (ts + {B})) AS log_ratio
+              FROM src LEFT JOIN tgt USING (bucket), tot),
+    lw AS (SELECT pc.id, sum(n)::BIGINT AS n_feats,
+                  sum(n * log_ratio) AS log_w
+           FROM pc JOIN ratio USING (bucket) GROUP BY pc.id),
+    fulls AS (SELECT d.doc_id AS id,
+                     coalesce(lw.n_feats, 0) AS n_feats,
+                     coalesce(lw.log_w, 0.0) AS log_w
+              FROM documents d LEFT JOIN lw ON d.doc_id = lw.id),
+    scored AS (SELECT id, n_feats, log_w,
+                      log_w - ln(-ln(
+                          (((id % 2147483648) * 2654435761)
+                               % 4294967296 + 0.5) / 4294967296.0))
+                          AS score
+               FROM fulls)
+    SELECT id, n_feats, round(log_w, 6) AS log_w, round(score, 6) AS score
+    FROM scored ORDER BY score DESC, id LIMIT {int(k)}
+    """
+
+
+def _katz_rounds_sql(k: int, alpha: float, beta: float, edges_sql: str) -> str:
+    """Unrolled k-round Katz recurrence (operators/katz.py): duplicate
+    edges count, vertices = endpoints of the edge multiset. Defines
+    CTE k{k}(id, score)."""
+    parts = [
+        f"""
+    WITH e AS MATERIALIZED (SELECT src, dst FROM ({edges_sql}) we),
+    verts AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+            SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e) t),
+    k0 AS MATERIALIZED (SELECT id, {beta!r} AS score FROM verts)"""
+    ]
+    for t in range(1, k + 1):
+        parts.append(
+            f""",
+    k{t} AS MATERIALIZED (
+        SELECT v.id, {beta!r} + {alpha!r} * coalesce(g.s, 0.0) AS score
+        FROM verts v LEFT JOIN (
+            SELECT e.dst AS id, sum(p.score) AS s
+            FROM e JOIN k{t - 1} p ON e.src = p.id GROUP BY e.dst) g
+        ON v.id = g.id)"""
+        )
+    return "".join(parts) + "\n"
+
+
+# All-pairs truncated min-distance closure over the distinct page
+# graph (operators/neighborhood.py semantics): walk states are
+# (root, id, dist<=rounds), UNION-deduped, min per pair. Defines CTEs
+# verts(id) and d(root, id, dist); harmonic/neighborhood project it.
+_DIST_CLOSURE_SQL = """
+    WITH RECURSIVE e AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM ({web_edges}) we),
+    verts AS MATERIALIZED (
+        SELECT DISTINCT id FROM (
+            SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e) t),
+    walk AS (
+        SELECT id AS root, id, 0 AS dist FROM verts
+        UNION
+        SELECT walk.root, e.dst, walk.dist + 1
+        FROM walk JOIN e ON walk.id = e.src
+        WHERE walk.dist < {rounds}),
+    d AS MATERIALIZED (
+        SELECT root, id, min(dist) AS dist FROM walk GROUP BY root, id)
+"""
+
+_HARMONIC_SQL = _DIST_CLOSURE_SQL + """,
+    h AS (SELECT id, sum(1.0 / dist) AS harmonic
+          FROM d WHERE dist > 0 GROUP BY id)
+    SELECT v.id, round(coalesce(h.harmonic, 0.0), 6) AS harmonic
+    FROM verts v LEFT JOIN h ON v.id = h.id
+"""
+
+_NEIGHBORHOOD_SQL = _DIST_CLOSURE_SQL + """
+    SELECT gs.t::INT AS t, count(*) AS n_pairs
+    FROM generate_series(0, {rounds}) gs(t) JOIN d ON d.dist <= gs.t
+    GROUP BY gs.t
 """
 
 
@@ -2539,6 +2763,44 @@ def oracle_sql() -> dict[str, str]:
         ),
         "web_coupling": _COUPLING_SQL.format(
             web_edges=_WEB_EDGES_SQL, cap=_PAIR_DEGREE_CAP
+        ),
+        "sequence_packing": _PACKING_SPANS_SQL + f"""
+            SELECT id, n_tokens, start_offset,
+                   (start_offset // {_PACK_L})::BIGINT AS pack_first,
+                   (greatest(start_offset + n_tokens - 1, start_offset)
+                       // {_PACK_L})::BIGINT AS pack_last,
+                   (CASE WHEN n_tokens = 0 THEN 0
+                        ELSE greatest(start_offset + n_tokens - 1, start_offset)
+                                 // {_PACK_L}
+                             - start_offset // {_PACK_L} + 1
+                   END)::BIGINT AS n_packs
+            FROM spans
+        """,
+        "packing_report": _PACKING_SPANS_SQL + f"""
+            SELECT (SELECT count(*) FROM spans) AS n_docs,
+                   (SELECT sum(n_tokens) FROM spans)::BIGINT AS n_tokens,
+                   (SELECT CASE WHEN sum(n_tokens) = 0 THEN 0
+                           ELSE (sum(n_tokens) - 1) // {_PACK_L} + 1 END
+                    FROM spans)::BIGINT AS n_windows,
+                   (SELECT count(*) FROM spans
+                    WHERE n_tokens > 0
+                      AND (start_offset + n_tokens - 1) // {_PACK_L}
+                          > start_offset // {_PACK_L}) AS n_straddling,
+                   (SELECT round(CASE WHEN sum(n_tokens) = 0 THEN 0.0
+                           ELSE ((sum(n_tokens) - 1) % {_PACK_L} + 1)
+                                / {_PACK_L}.0 END, 6)
+                    FROM spans) AS last_window_fill
+        """,
+        "dsir_sample": _dsir_sample_sql(
+            k=100, n_buckets=256, target_pred="d.lang = 'en'"
+        ),
+        "web_katz": _katz_rounds_sql(5, 0.1, 1.0, _WEB_EDGES_SQL)
+        + "SELECT id, round(score, 6) AS score FROM k5",
+        "web_harmonic": _HARMONIC_SQL.format(
+            web_edges=_WEB_EDGES_SQL, rounds=6
+        ),
+        "web_neighborhood": _NEIGHBORHOOD_SQL.format(
+            web_edges=_WEB_EDGES_SQL, rounds=6
         ),
         "web_walks": _walks_sql(_WEB_EDGES_SQL, length=4),
         "web_bfs_levels": _BFS_SQL.format(web_edges=_WEB_EDGES_SQL),

@@ -1073,6 +1073,35 @@ def q_doc_length_quantiles(spark, sf_dir):
 _PACK_L = 512
 
 
+def q_web_spam_mass(spark, sf_dir):
+    """TrustRank spam-mass estimate (operators/trustrank.py, Gyöngyi
+    et al. 2004): uniform-teleport PageRank and trusted-seed TrustRank
+    under the SAME 10-round iteration law (operators/ppr.py); spam
+    mass = PR - TR, relative mass = (PR-TR)/PR. Trusted seeds: the
+    arithmetic rule id % 50 == 1 over the page-graph vertices, stated
+    identically in the oracle."""
+    from dxa_pagerank_spark.operators.trustrank import spam_mass
+
+    # materialize the parsed edge table once: two 10-round loops (plus
+    # the seed scan) would otherwise re-run the HTML anchor parse
+    e = _web_edges(spark, sf_dir).localCheckpoint(eager=True)
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    trusted = [
+        r["id"] for r in verts.filter(F.col("id") % 50 == 1).collect()
+    ]
+    return spam_mass(spark, e, trusted, rounds=10).select(
+        "id",
+        F.round("pagerank", 6).alias("pagerank"),
+        F.round("trustrank", 6).alias("trustrank"),
+        F.round("spam_mass", 6).alias("spam_mass"),
+        F.round("rel_spam_mass", 6).alias("rel_spam_mass"),
+    )
+
+
 def q_sequence_packing(spark, sf_dir):
     """Concat-and-chop sequence packing (functions/packing.py): docs
     in id order, token stream chopped into 512-token training windows;
@@ -1165,6 +1194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_katz": q_web_katz,
         "web_harmonic": q_web_harmonic,
         "web_neighborhood": q_web_neighborhood,
+        "web_spam_mass": q_web_spam_mass,
         "sequence_packing": q_sequence_packing,
         "packing_report": q_packing_report,
         "dsir_sample": q_dsir_sample,
@@ -1782,6 +1812,52 @@ def _katz_rounds_sql(k: int, alpha: float, beta: float, edges_sql: str) -> str:
         ON v.id = g.id)"""
         )
     return "".join(parts) + "\n"
+
+
+def _spammass_sql(k: int, web_edges: str, seed_pred: str) -> str:
+    """Unrolled twin PageRank/TrustRank chains (operators/trustrank.py
+    via operators/ppr.py): chain u = uniform teleport 1/|V|, chain t =
+    teleport 1/|S| on seeds ({seed_pred}); dangling mass returns to
+    each chain's own teleport vector."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({web_edges})",
+        "verts AS MATERIALIZED ("
+        "SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges)",
+        "deg AS MATERIALIZED (SELECT src AS id, count(*)::DOUBLE AS out_deg"
+        " FROM edges GROUP BY src)",
+        "ew AS MATERIALIZED (SELECT e.src, e.dst, 1.0/d.out_deg AS w"
+        " FROM edges e JOIN deg d ON e.src = d.id)",
+        f"seeds AS MATERIALIZED (SELECT id FROM verts WHERE {seed_pred})",
+        "sv AS MATERIALIZED (SELECT v.id,"
+        " 1.0/(SELECT count(*) FROM verts) AS su,"
+        " CASE WHEN v.id IN (SELECT id FROM seeds)"
+        " THEN 1.0/(SELECT count(*) FROM seeds) ELSE 0.0 END AS st,"
+        " (d.id IS NULL) AS dang FROM verts v LEFT JOIN deg d ON v.id = d.id)",
+        "u0 AS MATERIALIZED (SELECT id, su AS rank FROM sv)",
+        "t0 AS MATERIALIZED (SELECT id, st AS rank FROM sv)",
+    ]
+    for c, svec in (("u", "su"), ("t", "st")):
+        for i in range(1, k + 1):
+            parts += [
+                f"{c}m{i} AS MATERIALIZED (SELECT coalesce(sum(p.rank),0) AS m"
+                f" FROM {c}{i - 1} p JOIN sv ON p.id = sv.id WHERE sv.dang)",
+                f"{c}c{i} AS MATERIALIZED (SELECT ew.dst AS id,"
+                f" sum(p.rank*ew.w) AS contrib"
+                f" FROM ew JOIN {c}{i - 1} p ON ew.src = p.id GROUP BY ew.dst)",
+                f"{c}{i} AS MATERIALIZED (SELECT sv.id,"
+                f" (1.0-0.85)*sv.{svec} + 0.85*(coalesce({c}c{i}.contrib,0)"
+                f" + (SELECT m FROM {c}m{i})*sv.{svec}) AS rank"
+                f" FROM sv LEFT JOIN {c}c{i} ON sv.id = {c}c{i}.id)",
+            ]
+    return (
+        ",\n".join(parts)
+        + f"""
+    SELECT u.id, round(u.rank, 6) AS pagerank, round(t.rank, 6) AS trustrank,
+           round(u.rank - t.rank, 6) AS spam_mass,
+           round((u.rank - t.rank) / u.rank, 6) AS rel_spam_mass
+    FROM u{k} u JOIN t{k} t ON u.id = t.id
+    """
+    )
 
 
 # All-pairs truncated min-distance closure over the distinct page
@@ -2802,6 +2878,7 @@ def oracle_sql() -> dict[str, str]:
         "web_neighborhood": _NEIGHBORHOOD_SQL.format(
             web_edges=_WEB_EDGES_SQL, rounds=6
         ),
+        "web_spam_mass": _spammass_sql(10, _WEB_EDGES_SQL, "id % 50 = 1"),
         "web_walks": _walks_sql(_WEB_EDGES_SQL, length=4),
         "web_bfs_levels": _BFS_SQL.format(web_edges=_WEB_EDGES_SQL),
         "web_distance_histogram": (

@@ -29,20 +29,21 @@ from pyspark.storagelevel import StorageLevel
 def personalized_pagerank(
     spark: SparkSession,
     edges: DataFrame,
-    seeds: Sequence[int],
+    seeds: Sequence[int] | None,
     damping: float = 0.85,
     rounds: int = 5,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """-> (id, rank) after `rounds` seeded power iterations."""
-    if not seeds:
+    """-> (id, rank) after `rounds` seeded power iterations.
+
+    ``seeds=None`` means the uniform teleport vector s = 1/|V| on every
+    vertex — standard PageRank under the SAME iteration law, so a
+    seeded and a uniform run are directly comparable (what TrustRank's
+    spam-mass estimate needs, operators/trustrank.py)."""
+    if seeds is not None and not seeds:
         raise ValueError("personalized_pagerank needs a non-empty seed set")
     P = num_partitions or spark.sparkContext.defaultParallelism
     d = damping
-    s_val = 1.0 / len(seeds)
-    seeds_df = spark.createDataFrame(
-        [(int(x),) for x in seeds], "id long"
-    ).withColumn("s", F.lit(s_val))
 
     deg = edges.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("out_deg")
@@ -53,15 +54,27 @@ def personalized_pagerank(
         .repartition(P, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    verts = (
+    vert_ids = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
         .distinct()
-        .join(seeds_df, "id", "left")
-        .join(deg, "id", "left")
+    )
+    if seeds is None:
+        n = vert_ids.count()
+        with_s = vert_ids.withColumn("s", F.lit(1.0 / n))
+    else:
+        s_val = 1.0 / len(seeds)
+        seeds_df = spark.createDataFrame(
+            [(int(x),) for x in seeds], "id long"
+        ).withColumn("s", F.lit(s_val))
+        with_s = vert_ids.join(seeds_df, "id", "left").select(
+            "id", F.coalesce("s", F.lit(0.0)).alias("s")
+        )
+    verts = (
+        with_s.join(deg, "id", "left")
         .select(
             "id",
-            F.coalesce("s", F.lit(0.0)).alias("s"),
+            "s",
             F.col("out_deg").isNull().alias("dangling"),
         )
         .repartition(P, "id")

@@ -258,3 +258,69 @@ def test_lmscore_plans(spark):
     assert "BatchEvalPython" not in dc
     assert "BroadcastHashJoin" in dc  # benchmark set broadcast semi-join
     assert "CartesianProduct" not in dc
+
+
+def test_katz_round_jvm_only(spark):
+    """One Katz gather+apply round (operators/katz.py shape): pure JVM
+    joins + partial/final hash aggregate, no re-sort of the cached
+    adjacency (hash joins only)."""
+    src, dst = fast_synthetic_edges(2000, 4, seed=6)
+    edges = edges_to_spark(spark, src, dst)
+    adj = edges.select("src", "dst").repartition(8, "src")
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    scores = verts.select("id", F.lit(1.0).alias("score"))
+    nxt = (
+        adj.join(scores.withColumnRenamed("id", "src"), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum("score").alias("g"))
+    )
+    plan = _plan(nxt)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_neighborhood_hll_round_jvm_only(spark):
+    """The HyperBall sketch round (operators/neighborhood.py mode=hll):
+    DataSketches union aggregate is a JVM typed aggregate — no Python
+    anywhere, sketches shuffled as fixed-width binary."""
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    balls = e.select(F.col("src").alias("id")).distinct().groupBy("id").agg(
+        F.hll_sketch_agg(F.col("id"), F.lit(12)).alias("ball")
+    )
+    nb = e.join(balls.withColumnRenamed("id", "dst"), "dst").select(
+        F.col("src").alias("id"), "ball"
+    )
+    nxt = balls.unionByName(nb).groupBy("id").agg(
+        F.hll_union_agg("ball").alias("ball")
+    )
+    plan = _plan(nxt.select("id", F.hll_sketch_estimate("ball")))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_dsir_plans(spark):
+    """DSIR scoring (functions/dsir.py): feature hashing is JVM
+    higher-order functions (no Python), the B-row ratio table joins
+    back as a BroadcastHashJoin, and selection is a top-k
+    TakeOrdered, never a global sort."""
+    from dxa_pagerank_spark.functions.dsir import dsir_log_weights, dsir_sample
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "c d e"), (2, "a a b")],
+        "doc_id long, text string",
+    )
+    lw = _plan(dsir_log_weights(docs, F.col("doc_id") < 2, n_buckets=16))
+    assert "BatchEvalPython" not in lw
+    assert "ArrowEvalPython" not in lw
+    assert "BroadcastHashJoin" in lw  # ratio table broadcast
+
+    topk = _plan(dsir_sample(docs, F.col("doc_id") < 2, k=2, n_buckets=16))
+    assert "TakeOrdered" in topk
+    assert "BatchEvalPython" not in topk

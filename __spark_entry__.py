@@ -338,6 +338,29 @@ def q_dedup_exact_stats(spark, sf_dir):
     return exact_dup_stats(_t(spark, sf_dir, "documents"))
 
 
+def q_substring_dup_spans(spark, sf_dir):
+    """ExactSubstr-style repeated-span detection (Lee et al. 2022,
+    functions/spandedup.py): maximal token spans whose every 3-token
+    window repeats corpus-wide, globally-first occurrence exempt. The
+    oracle replays the md5 window hashing, keep-first aggregate, and
+    island merge in SQL."""
+    from dxa_pagerank_spark.functions.spandedup import duplicate_spans
+
+    return duplicate_spans(
+        _t(spark, sf_dir, "documents"), width=3
+    ).withColumnRenamed("id", "doc_id")
+
+
+def q_substring_dedup_stats(spark, sf_dir):
+    """Per-document duplicated-token budget from the span table above:
+    how much of each document ExactSubstr removal would delete."""
+    from dxa_pagerank_spark.functions.spandedup import substring_dedup_stats
+
+    return substring_dedup_stats(
+        _t(spark, sf_dir, "documents"), width=3
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_ann_topk(spark, sf_dir):
     from dxa_pagerank_spark.functions.similarity import brute_force_topk
 
@@ -1254,6 +1277,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": q_tfidf_topk,
         "doc_quality": q_doc_quality,
         "dedup_exact_stats": q_dedup_exact_stats,
+        "substring_dup_spans": q_substring_dup_spans,
+        "substring_dedup_stats": q_substring_dedup_stats,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "minhash_dedup": q_minhash_dedup,
@@ -1957,6 +1982,71 @@ _TOKENS_SQL = """
         WHERE term <> '')
 """
 
+def _substring_spans_sql(width: int) -> str:
+    """CTE chain replaying functions/spandedup.py exactly: md5 window
+    hashes (identical tokenization: split on single space, empties
+    dropped), keep-first via min (doc_id, pos) struct, overlap/adjacent
+    island merge via running-max window. Defines `spans(doc_id,
+    span_start, span_end, span_len)`."""
+    w = int(width)
+    return f"""
+    toks AS MATERIALIZED (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM documents),
+    win AS MATERIALIZED (
+        SELECT doc_id, pos, md5(array_to_string(ts[pos+1 : pos+{w}], ' ')) AS h
+        FROM (SELECT doc_id, ts,
+                     unnest(range(0, greatest(len(ts) - {w} + 1, 0))) AS pos
+              FROM toks)),
+    agg AS MATERIALIZED (
+        SELECT h, count(*) AS cnt,
+               min(struct_pack(d := doc_id, p := pos)) AS first
+        FROM win GROUP BY h),
+    dupw AS (
+        SELECT w.doc_id, w.pos AS s, w.pos + {w} - 1 AS e
+        FROM win w JOIN agg a ON w.h = a.h
+        WHERE a.cnt >= 2 AND NOT (w.doc_id = a.first.d AND w.pos = a.first.p)),
+    marked AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -2) + 1
+                    THEN 1 ELSE 0 END AS brk
+        FROM dupw),
+    grp AS (
+        SELECT doc_id, s, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS UNBOUNDED PRECEDING) AS g
+        FROM marked),
+    spans AS (
+        SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+               max(e) - min(s) + 1 AS span_len
+        FROM grp GROUP BY doc_id, g)
+"""
+
+
+_SUBSTRING_SPANS_SQL = (
+    "WITH "
+    + _substring_spans_sql(3)
+    + "SELECT doc_id, span_start, span_end, span_len FROM spans"
+)
+
+_SUBSTRING_STATS_SQL = (
+    "WITH "
+    + _substring_spans_sql(3)
+    + """
+    SELECT t.doc_id, len(t.ts) AS n_tokens,
+           count(sp.doc_id) AS n_spans,
+           coalesce(sum(sp.span_len), 0)::BIGINT AS dup_tokens,
+           round(coalesce(sum(sp.span_len), 0)
+                 / greatest(len(t.ts), 1)::DOUBLE, 6) AS dup_frac
+    FROM toks t LEFT JOIN spans sp ON t.doc_id = sp.doc_id
+    GROUP BY t.doc_id, len(t.ts)
+"""
+)
+
+
 _TERM_TOPK_SQL = (
     "WITH "
     + _TOKENS_SQL
@@ -2637,6 +2727,8 @@ def oracle_sql() -> dict[str, str]:
                           + alpha_ratio) / 3.0, 6) AS quality
             FROM s
         """,
+        "substring_dup_spans": _SUBSTRING_SPANS_SQL,
+        "substring_dedup_stats": _SUBSTRING_STATS_SQL,
         "dedup_exact_stats": """
             SELECT count(*) AS n_docs,
                    count(DISTINCT md5(text)) AS n_unique,

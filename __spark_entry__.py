@@ -548,6 +548,17 @@ def q_hits_5rounds(spark, sf_dir):
     )
 
 
+def q_web_salsa(spark, sf_dir):
+    """SALSA (Lempel & Moran, operators/salsa.py) over the synthetic web
+    edge multiset, 4 L1-normalized rounds; unrolled DuckDB oracle with
+    the degree-split gathers."""
+    from dxa_pagerank_spark.operators.salsa import salsa
+
+    return salsa(spark, _web_edges(spark, sf_dir), rounds=4).select(
+        "id", F.round("auth", 6).alias("auth"), F.round("hub", 6).alias("hub")
+    )
+
+
 def q_k_core_3(spark, sf_dir):
     """3-core of the undirected simple graph (operators/kcore.py). The
     engine peels to a fixpoint; the oracle unrolls peel rounds with
@@ -1264,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff": q_clustering_coeff,
         "graph_summary": q_graph_summary,
         "hits_5rounds": q_hits_5rounds,
+        "web_salsa": q_web_salsa,
         "k_core_3": q_k_core_3,
         "k_truss_4": q_k_truss_4,
         "ppr_5rounds": q_ppr_5rounds,
@@ -1371,6 +1383,39 @@ def _hits_rounds_sql(k: int) -> str:
             f" FROM edges e JOIN a{i} a ON e.dst = a.id GROUP BY e.src)",
             f"hn{i} AS MATERIALIZED (SELECT coalesce(nullif(sum(raw),0),1.0) AS t FROM hr{i})",
             f"hs{i} AS MATERIALIZED (SELECT a{i}.id,"
+            f" coalesce(hr{i}.raw,0)/(SELECT t FROM hn{i}) AS hub, a{i}.auth"
+            f" FROM a{i} LEFT JOIN hr{i} ON a{i}.id = hr{i}.id)",
+        ]
+    return ",\n".join(parts) + "\n"
+
+
+def _salsa_rounds_sql(k: int, edges_sql: str) -> str:
+    """Unrolled k-round SALSA (operators/salsa.py semantics: degree-
+    split gathers, L1-normalize after each half-step, edge multiplicity
+    counts in gathers AND degrees). Defines ss{k}(id, hub, auth)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_sql})",
+        "verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges)",
+        "nv AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM verts)",
+        "sod AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS d FROM edges GROUP BY src)",
+        "sidg AS MATERIALIZED (SELECT dst, count(*)::DOUBLE AS d FROM edges GROUP BY dst)",
+        "ss0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nv) AS hub,"
+        " 1.0/(SELECT n FROM nv) AS auth FROM verts)",
+    ]
+    for i in range(1, k + 1):
+        parts += [
+            f"ar{i} AS MATERIALIZED (SELECT e.dst AS id, sum(h.hub / o.d) AS raw"
+            f" FROM edges e JOIN ss{i - 1} h ON e.src = h.id"
+            f" JOIN sod o ON e.src = o.src GROUP BY e.dst)",
+            f"an{i} AS MATERIALIZED (SELECT coalesce(nullif(sum(raw),0),1.0) AS t FROM ar{i})",
+            f"a{i} AS MATERIALIZED (SELECT v.id,"
+            f" coalesce(ar{i}.raw,0)/(SELECT t FROM an{i}) AS auth"
+            f" FROM verts v LEFT JOIN ar{i} ON v.id = ar{i}.id)",
+            f"hr{i} AS MATERIALIZED (SELECT e.src AS id, sum(a.auth / g.d) AS raw"
+            f" FROM edges e JOIN a{i} a ON e.dst = a.id"
+            f" JOIN sidg g ON e.dst = g.dst GROUP BY e.src)",
+            f"hn{i} AS MATERIALIZED (SELECT coalesce(nullif(sum(raw),0),1.0) AS t FROM hr{i})",
+            f"ss{i} AS MATERIALIZED (SELECT a{i}.id,"
             f" coalesce(hr{i}.raw,0)/(SELECT t FROM hn{i}) AS hub, a{i}.auth"
             f" FROM a{i} LEFT JOIN hr{i} ON a{i}.id = hr{i}.id)",
         ]
@@ -2568,6 +2613,8 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT id, round(rank, 6) AS rank FROM final",
         "hits_5rounds": _hits_rounds_sql(5)
         + "SELECT id, round(auth, 6) AS auth, round(hub, 6) AS hub FROM hs5",
+        "web_salsa": _salsa_rounds_sql(4, _WEB_EDGES_SQL)
+        + "SELECT id, round(auth, 6) AS auth, round(hub, 6) AS hub FROM ss4",
         # 24 unrolled peels >> observed peeling depth at sf0.01 (4); the
         # peel map is idempotent at the fixpoint, so slack is harmless
         "k_core_3": _kcore_sql(3, 24) + "SELECT id, degree FROM core",

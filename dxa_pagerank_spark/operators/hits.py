@@ -12,10 +12,12 @@ Edge multiplicity counts (consistent with the engine's file-ingest
 semantics, ReadLumpInEdgeListTask.java:69-71).
 
 Physical plan, per round: TWO rank-table shuffles (auth gather by dst,
-hub gather by src) against the once-partitioned persisted edge table —
-the 100-TB side never moves; map-side partial aggregation keeps each
-exchange at ~|V| rows. One action per round (the normalization sums)
-is the BSP barrier. Lineage truncated per round via localCheckpoint.
+hub gather by src) against the edge table persisted in BOTH join
+orientations (src-partitioned for the auth gather, dst-partitioned for
+the hub gather) — the 100-TB side never moves in either half-step;
+map-side partial aggregation keeps each exchange at ~|V| rows. One
+action per round (the normalization sums) is the BSP barrier. Lineage
+truncated per round via localCheckpoint.
 """
 
 from __future__ import annotations
@@ -33,11 +35,17 @@ def hits(
 ) -> DataFrame:
     """-> (id, auth, hub) after `rounds` L1-normalized iterations."""
     P = num_partitions or spark.sparkContext.defaultParallelism
+    # the edge table is persisted in BOTH join orientations (hash-
+    # partitioned by src for the auth gather, by dst for the hub
+    # gather) so neither half-step re-exchanges the 100-TB side; each
+    # gather's map-side partial agg shrinks its product to ~|V| rows
+    # before the one rank-table exchange per half-step
     e = (
         edges.select("src", "dst")
         .repartition(P, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    e_bwd = e.repartition(P, "dst").persist(StorageLevel.MEMORY_AND_DISK)
     verts = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -65,7 +73,7 @@ def hits(
             st = st.select("id", (F.col("a_raw") / tot_a).alias("auth"))
             # hub step: pull auth mass along out-edges
             h = (
-                e.join(st.select(F.col("id").alias("dst"), "auth"), "dst")
+                e_bwd.join(st.select(F.col("id").alias("dst"), "auth"), "dst")
                 .groupBy(F.col("src").alias("id"))
                 .agg(F.sum("auth").alias("h_raw"))
             )
@@ -88,4 +96,5 @@ def hits(
         return state.select("id", "auth", "hub")
     finally:
         e.unpersist()
+        e_bwd.unpersist()
         verts.unpersist()

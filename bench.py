@@ -130,6 +130,16 @@ def main() -> None:
         "ann_topk_ivf_sf",
         lambda: entrymod.q_ann_topk_ivf(spark, SF_DIR).count(),
     )
+    timed(
+        "substring_dedup_sf",
+        lambda: entrymod.q_substring_dedup_stats(spark, SF_DIR).agg(
+            F.sum("dup_tokens")
+        ).collect(),
+    )
+    timed(
+        "salsa_sf",
+        lambda: entrymod.q_web_salsa(spark, SF_DIR).count(),
+    )
 
     # --- synthetic PageRank hot loop: the BASELINE.json metric ---
     # csr (the north_star kernel) is the headline; the general df loop

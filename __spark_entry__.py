@@ -361,6 +361,20 @@ def q_substring_dedup_stats(spark, sf_dir):
     ).withColumnRenamed("id", "doc_id")
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (functions/retrieval.py) for three fixed
+    2-term queries over the documents corpus; 2-term queries keep the
+    per-doc score a two-operand double sum (order-exact), so the SQL
+    oracle replays the identical float arithmetic."""
+    from dxa_pagerank_spark.functions.retrieval import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"),
+        [(1, "hash join"), (2, "sort merge"), (3, "window agg")],
+        k=10,
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     from dxa_pagerank_spark.functions.similarity import brute_force_topk
 
@@ -1291,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_stats": q_dedup_exact_stats,
         "substring_dup_spans": q_substring_dup_spans,
         "substring_dedup_stats": q_substring_dedup_stats,
+        "bm25_topk": q_bm25_topk,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "minhash_dedup": q_minhash_dedup,
@@ -2092,6 +2107,48 @@ _SUBSTRING_STATS_SQL = (
 )
 
 
+# BM25 (functions/retrieval.py): float expression trees mirror the
+# Spark column algebra operation-for-operation (same associativity), so
+# round(6) values are engine-identical; per-(query, doc) sums have <= 2
+# operands (2-term queries), so summation order cannot differ.
+_BM25_SQL = """
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM documents),
+    lens AS MATERIALIZED (SELECT doc_id, len(ts) AS dl FROM toks),
+    stats AS MATERIALIZED (
+        SELECT count(*)::DOUBLE AS n, avg(dl) AS avg_len FROM lens),
+    qterms(query_id, term) AS (
+        VALUES (1, 'hash'), (1, 'join'), (2, 'sort'), (2, 'merge'),
+               (3, 'window'), (3, 'agg')),
+    tok AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN (SELECT DISTINCT term FROM qterms)
+           GROUP BY 1, 2),
+    idf AS (SELECT term,
+                   ln(((SELECT n FROM stats) - count(*) + 0.5)
+                      / (count(*) + 0.5) + 1.0) AS idf
+            FROM tf GROUP BY term),
+    scored AS (
+        SELECT q.query_id, t.doc_id,
+               sum(i.idf * (t.tf * 2.2)
+                   / (t.tf + 1.2 * (0.25 + 0.75 * l.dl
+                                    / (SELECT avg_len FROM stats)))) AS score
+        FROM tf t
+        JOIN qterms q USING (term)
+        JOIN idf i USING (term)
+        JOIN lens l USING (doc_id)
+        GROUP BY 1, 2),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY score DESC, doc_id ASC) AS doc_rank
+        FROM scored)
+    SELECT query_id, doc_id, round(score, 6) AS score, doc_rank
+    FROM ranked WHERE doc_rank <= 10
+"""
+
+
 _TERM_TOPK_SQL = (
     "WITH "
     + _TOKENS_SQL
@@ -2776,6 +2833,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "substring_dup_spans": _SUBSTRING_SPANS_SQL,
         "substring_dedup_stats": _SUBSTRING_STATS_SQL,
+        "bm25_topk": _BM25_SQL,
         "dedup_exact_stats": """
             SELECT count(*) AS n_docs,
                    count(DISTINCT md5(text)) AS n_unique,

@@ -1,0 +1,124 @@
+"""BM25 ranked retrieval over the document corpus.
+[north_rule extension — no reference counterpart; dxa-pageRank has no
+text operators (SURVEY.md §2.1)]
+
+The classic probabilistic ranking function (Robertson & Zaragoza 2009,
+"The Probabilistic Relevance Framework: BM25 and Beyond"), with the
++1-smoothed IDF (non-negative for any df, the Lucene convention):
+
+    idf(t)      = ln( (N - df_t + 0.5) / (df_t + 0.5) + 1 )
+    score(q, d) = sum over t in q of
+                  idf(t) * tf_td * (k1 + 1)
+                  / (tf_td + k1 * (1 - b + b * len_d / avg_len))
+
+Plan shape at 100 TB (the query set is tiny; the corpus is not):
+
+  qterms   = exploded query strings                 -- driver-sized
+  tf       = tokens explode -> groupBy(doc, term)   -- THE corpus
+             SEMI-JOINED to broadcast(qterms) FIRST -- shuffle, but
+             so only matching terms shuffle;           only rows whose
+             map-side partial agg                      term is queried
+  lens     = tokens count per doc + one avg scalar  -- piggybacks the
+                                                       same scan
+  df/idf   = count per query term over tf           -- query-sized agg
+  scores   = tf x broadcast(qterms + idf)           -- no corpus-side
+             groupBy(query, doc) sum                   shuffle widening
+  topk     = per-query row_number window            -- WindowGroupLimit
+             (score desc, doc asc)                     pushes the k-heap
+                                                       into partials
+
+Float determinism note for the oracle pairing: per-(query, doc) the
+score is a sum over the query's matched terms; summation order is
+engine-dependent, so oracle-paired driver queries keep queries at <= 2
+terms (a two-operand double sum is order-exact). The operator itself
+takes any length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (query_id, doc_id, score, doc_rank): top-k BM25 docs per
+    query. `queries` is [(query_id, "term term ...")]; matching is
+    exact-token (same whitespace tokenization as the rest of the text
+    suite). Ties break by doc id ascending; score rounded to 6 for
+    engine-portable comparison (ranking uses the unrounded value)."""
+    spark = docs.sparkSession
+    qrows = [
+        (int(qid), t)
+        for qid, qs in queries
+        for t in qs.split(" ")
+        if t != ""
+    ]
+    qterms = spark.createDataFrame(qrows, "query_id INT, term STRING")
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias("ts"),
+    )
+    lens = toks.select("id", F.size("ts").alias("dl"))
+    n_docs, avg_len = lens.agg(
+        F.count(F.lit(1)), F.avg("dl")
+    ).collect()[0]
+
+    # corpus side: explode once, keep only queried terms (broadcast
+    # semi-join BEFORE the tf aggregate), then per-(doc, term) counts
+    tf = (
+        toks.select("id", F.explode("ts").alias("term"))
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # df/idf over the matched tf table: query-vocabulary-sized
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = idf.select(
+        "term",
+        F.log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            + 1.0
+        ).alias("idf"),
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(idf), "term")
+        .join(lens, "id")
+        .select(
+            "query_id",
+            "id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("dl") / F.lit(float(avg_len)))
+                )
+            ).alias("s"),
+        )
+        .groupBy("query_id", "id")
+        .agg(F.sum("s").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("doc_rank", F.row_number().over(w))
+        .filter(F.col("doc_rank") <= int(k))
+        .select(
+            "query_id",
+            F.col("id").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+            "doc_rank",
+        )
+    )

@@ -18,8 +18,14 @@ Plan shape at 100 TB (the query set is tiny; the corpus is not):
              SEMI-JOINED to broadcast(qterms) FIRST -- shuffle, but
              so only matching terms shuffle;           only rows whose
              map-side partial agg                      term is queried
-  lens     = tokens count per doc + one avg scalar  -- piggybacks the
-                                                       same scan
+  lens     = one avg-length scalar                  -- piggybacks the
+                                                       same scan; the
+                                                       per-doc length
+                                                       rides the
+                                                       exploded rows
+                                                       into tf (no
+                                                       second corpus
+                                                       shuffle on id)
   df/idf   = count per query term over tf           -- query-sized agg
   scores   = tf x broadcast(qterms + idf)           -- no corpus-side
              groupBy(query, doc) sum                   shuffle widening
@@ -73,12 +79,15 @@ def bm25_topk(
     ).collect()[0]
 
     # corpus side: explode once, keep only queried terms (broadcast
-    # semi-join BEFORE the tf aggregate), then per-(doc, term) counts
+    # semi-join BEFORE the tf aggregate), then per-(doc, term) counts.
+    # The doc length rides the exploded rows (8 bytes each) and folds
+    # into the same aggregate — cheaper at corpus scale than a second
+    # shuffle joining a per-doc length table back on id.
     tf = (
-        toks.select("id", F.explode("ts").alias("term"))
+        toks.select("id", F.size("ts").alias("dl"), F.explode("ts").alias("term"))
         .join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
     )
     # df/idf over the matched tf table: query-vocabulary-sized
     idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
@@ -92,7 +101,6 @@ def bm25_topk(
     scored = (
         tf.join(F.broadcast(qterms), "term")
         .join(F.broadcast(idf), "term")
-        .join(lens, "id")
         .select(
             "query_id",
             "id",

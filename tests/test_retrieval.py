@@ -62,6 +62,23 @@ def test_bm25_k_and_unmatched_query(spark):
     assert [r for r in rows if r["query_id"] == 2] == []
 
 
+def test_bm25_plan_shape(spark):
+    df = spark.createDataFrame(DOCS, "doc_id INT, text STRING")
+    plan = (
+        bm25_topk(df, [(1, "cat dog")], k=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan  # top-k heap pushed into partials
+    assert "BatchEvalPython" not in plan  # all JVM
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # query terms / idf reach the corpus as broadcasts
+    assert plan.count("BroadcastHashJoin") >= 3
+    # no second corpus shuffle for doc lengths: the only SortMergeJoin-
+    # eligible join keys would be id; lengths ride the tf aggregate
+    assert "SortMergeJoin" not in plan
+
+
 def test_bm25_rare_term_outranks_common(spark):
     df = spark.createDataFrame(DOCS, "doc_id INT, text STRING")
     # doc 2 is the only short doc containing both mouse (rare) hits

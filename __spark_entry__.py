@@ -14,6 +14,7 @@ order cannot flip the value hash.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,6 +79,39 @@ def q_pagerank_2rounds(spark, sf_dir):
 
     res = pagerank(
         spark, _edges(spark, sf_dir), damping=DAMPING, threshold=0.0, max_rounds=2
+    )
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_pagerank_resume_4rounds(spark, sf_dir):
+    """Mid-iteration resume, driver-verified end-to-end: run 2 rounds
+    with per-round durable checkpoints (plans/checkpoint.py), then a
+    SECOND pagerank call resumes from the persisted state and finishes
+    rounds 3-4. The oracle is the plain 4-round unroll — resume must be
+    trajectory-invisible (FIXTURES.md F6). The checkpoint dir is wiped
+    up front (not after: the resumed ranks' lineage reads it)."""
+    import shutil
+    import tempfile
+
+    from dxa_pagerank_spark.operators.pagerank import pagerank
+    from dxa_pagerank_spark.plans.checkpoint import CheckpointManager
+
+    edges = _edges(spark, sf_dir)
+    ckpt = os.path.join(
+        tempfile.gettempdir(),
+        f"dxa_driver_resume_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    shutil.rmtree(ckpt, ignore_errors=True)
+    cm = CheckpointManager(ckpt, run_id="driver_resume")
+    partial = pagerank(
+        spark, edges, damping=DAMPING, threshold=0.0, max_rounds=2,
+        checkpoint_manager=cm, checkpoint_interval=2,
+    )
+    assert partial.rounds == 2
+    cm2 = CheckpointManager(ckpt, run_id="driver_resume")
+    res = pagerank(
+        spark, edges, damping=DAMPING, threshold=0.0, max_rounds=4,
+        checkpoint_manager=cm2, checkpoint_interval=2, resume=True,
     )
     return res.ranks.select("id", F.round("rank", 6).alias("rank"))
 
@@ -1272,6 +1306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_spans": q_substring_dup_spans,
         "substring_dedup_stats": q_substring_dedup_stats,
         "bm25_topk": q_bm25_topk,
+        "pagerank_resume_4rounds": q_pagerank_resume_4rounds,
         # -- (1b) green in r01, missed by the r02 prefix ---------------
         "embedding_near_dup": q_embedding_near_dup,
         "token_counts": q_token_counts,
@@ -2673,6 +2708,10 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_2rounds": _PAGERANK_PRELUDE
         + "SELECT id, round(rank, 6) AS rank FROM final",
         "pagerank_10rounds": _pagerank_rounds_sql(10)
+        + "SELECT id, round(rank, 6) AS rank FROM final",
+        # resume is trajectory-invisible: 2 checkpointed + 2 resumed
+        # rounds must equal the plain 4-round unroll
+        "pagerank_resume_4rounds": _pagerank_rounds_sql(4)
         + "SELECT id, round(rank, 6) AS rank FROM final",
         # engine stops at L1 <= 1e-10; the fixed 60-round unroll is past
         # that point, and both sit ~1e-11-deep at the unique fixed point,

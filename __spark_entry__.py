@@ -555,6 +555,26 @@ def _media_from_docs(spark, sf_dir):
     )
 
 
+def q_image_decode_stats(spark, sf_dir):
+    """REAL image decode end-to-end (no codec libs): deterministic PPM
+    payloads from the arithmetic pixel rule pixel(x,y,c) = (7x + 13y +
+    31*media_id + 5c) mod 256 are genuinely encoded to P6 bytes and
+    decoded back by the pure-NumPy decoder; the oracle computes the
+    per-channel means from the rule in closed form, never touching
+    bytes (functions/multimodal.py)."""
+    from dxa_pagerank_spark.functions.multimodal import (
+        image_pixel_stats,
+        make_synthetic_images,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .select(F.col("doc_id").cast("long").alias("media_id"))
+    )
+    return image_pixel_stats(make_synthetic_images(ids, width=8, height=6))
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: image payloads -> (n_bytes, feature dim)
     through the Arrow-batched (stub-decoder) kernel."""
@@ -1307,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dedup_stats": q_substring_dedup_stats,
         "bm25_topk": q_bm25_topk,
         "pagerank_resume_4rounds": q_pagerank_resume_4rounds,
+        "image_decode_stats": q_image_decode_stats,
         # -- (1b) green in r01, missed by the r02 prefix ---------------
         "embedding_near_dup": q_embedding_near_dup,
         "token_counts": q_token_counts,
@@ -2931,6 +2952,24 @@ def oracle_sql() -> dict[str, str]:
                          / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6)
                        AS jaccard
             FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+        """,
+        # the rule (7x+13y+31*id+5c) mod 256 averaged over the 8x6 grid,
+        # per channel — the engine must reproduce it through ENCODED
+        # image bytes and the real decoder
+        "image_decode_stats": """
+            WITH ids AS (SELECT doc_id AS media_id FROM documents
+                         WHERE doc_id % 3 = 0),
+            grid AS (SELECT r1.range AS x, r2.range AS y
+                     FROM range(0, 8) r1, range(0, 6) r2),
+            px AS (SELECT i.media_id, c.c,
+                          (7 * g.x + 13 * g.y + 31 * i.media_id + 5 * c.c)
+                              % 256 AS v
+                   FROM ids i, grid g, (VALUES (0), (1), (2)) c(c))
+            SELECT media_id, 8::INT AS width, 6::INT AS height,
+                   round(avg(CASE WHEN c = 0 THEN v END), 6) AS mean_r,
+                   round(avg(CASE WHEN c = 1 THEN v END), 6) AS mean_g,
+                   round(avg(CASE WHEN c = 2 THEN v END), 6) AS mean_b
+            FROM px GROUP BY media_id
         """,
         "media_features": """
             SELECT doc_id AS media_id,

@@ -1,13 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed by Arrow-batched kernels.
 
-The decode step itself is STUBBED (image/audio codecs are not in this
-container): ``decode_image``/``decode_audio`` raise NotImplementedError
-unless ``fake=True``, in which case a deterministic fake decoder (seeded
-by content hash) produces stable feature vectors. Everything around the
-stub — schemas, mapInPandas batch shape, partition sizing, UDF
-signatures — is real and tested; swapping in Pillow/ffmpeg later only
-replaces the two marked functions.
+Decode status (r03): ``decode_image`` is now a REAL pure-NumPy decoder
+for the codec-free container formats — binary PPM (P6), PGM (P5), and
+uncompressed 24-bit BMP — exercised end-to-end by
+``make_synthetic_images`` (arithmetic pixel rule, so SQL oracles state
+expected pixel statistics in closed form) and ``image_pixel_stats``.
+Compressed formats (JPEG/PNG) and ``decode_audio`` still require codec
+libraries absent from this container and raise NotImplementedError;
+the deterministic digest stub (``fake=True``) remains for payloads
+that are not decodable images. Swapping in Pillow/ffmpeg later only
+widens the two marked functions.
 
 Scale notes: binary payloads dominate row size, so these operators use
 ``mapInPandas`` (per-partition Arrow batches) and never groupBy on the
@@ -44,14 +47,71 @@ IMAGE_FEATURES_SCHEMA = (
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame_feature array<float>"
 
 
-def decode_image(payload: bytes) -> np.ndarray:
-    """REAL DECODER NOT AVAILABLE IN THIS CONTAINER.
+def _ppm_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
+    """First n whitespace-separated header tokens after the magic,
+    honoring '#' comments (the netpbm grammar). Returns (ints, offset of
+    the single whitespace byte after the last token + 1 = pixel start)."""
+    toks: list[int] = []
+    i = 2  # past the 2-byte magic
+    while len(toks) < n:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i < len(payload) and payload[i] == ord("#"):
+            while i < len(payload) and payload[i] != ord("\n"):
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        toks.append(int(payload[i:j]))
+        i = j
+    return toks, i + 1  # exactly one whitespace byte after maxval
 
-    Swap in e.g. PIL.Image.open(io.BytesIO(payload)) when the codec
-    libraries exist. See _fake_decode for the deterministic test stand-in.
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Pure-NumPy image decode for the codec-free container formats:
+
+    * PPM binary (magic ``P6``) -> (h, w, 3) uint8
+    * PGM binary (magic ``P5``) -> (h, w) uint8
+    * BMP, uncompressed 24-bit BI_RGB -> (h, w, 3) uint8 (RGB order,
+      top-down rows, 4-byte row padding stripped)
+
+    Compressed formats (JPEG/PNG/...) still need codec libraries that
+    are not in this container and raise NotImplementedError; the
+    deterministic digest stub (`_fake_decode`) remains available via
+    ``fake=True`` for payloads that are not images at all.
     """
+    if payload is None or len(payload) < 2:
+        raise NotImplementedError("empty or truncated payload")
+    payload = bytes(payload)
+    magic = payload[:2]
+    if magic in (b"P6", b"P5"):
+        (w, h, maxval), off = _ppm_tokens(payload, 3)
+        if maxval > 255:
+            raise NotImplementedError("16-bit netpbm not supported")
+        ch = 3 if magic == b"P6" else 1
+        px = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=off)
+        return px.reshape((h, w, 3)) if ch == 3 else px.reshape((h, w))
+    if magic == b"BM":
+        data_off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError("only uncompressed 24-bit BMP supported")
+        flip = h > 0  # positive height = bottom-up row order
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape((h, stride))[:, : w * 3].reshape((h, w, 3))
+        if flip:
+            rows = rows[::-1]
+        return rows[..., ::-1].copy()  # BGR -> RGB
     raise NotImplementedError(
-        "image codecs not installed; use fake=True for the deterministic stub"
+        "compressed image codecs not installed (payload is not PPM/PGM/BMP);"
+        " use fake=True for the deterministic stub"
     )
 
 
@@ -59,6 +119,80 @@ def decode_audio(payload: bytes) -> np.ndarray:
     """REAL DECODER NOT AVAILABLE IN THIS CONTAINER (see decode_image)."""
     raise NotImplementedError(
         "audio codecs not installed; use fake=True for the deterministic stub"
+    )
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6) bytes."""
+    h, w = arr.shape[0], arr.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
+
+
+# arithmetic pixel rule for the synthetic image source: closed-form so
+# SQL oracles can state expected pixel statistics without touching bytes
+def _rule_pixels(media_id: int, w: int, h: int) -> np.ndarray:
+    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+    return ((7 * x + 13 * y + 31 * media_id + 5 * c) % 256).astype(np.uint8)
+
+
+def make_synthetic_images(
+    ids: DataFrame, width: int = 8, height: int = 6
+) -> DataFrame:
+    """Deterministic PPM image table from an (media_id bigint) input:
+    pixel(x, y, c) = (7x + 13y + 31*media_id + 5c) mod 256. The payload
+    is REAL image bytes (P6) that decode_image round-trips."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                "media_id": pdf["media_id"],
+                "kind": ["image"] * len(pdf),
+                "mime": ["image/x-portable-pixmap"] * len(pdf),
+                "payload": [
+                    encode_ppm(_rule_pixels(int(m), width, height))
+                    for m in pdf["media_id"]
+                ],
+                "width": [width] * len(pdf),
+                "height": [height] * len(pdf),
+                "duration_ms": pd.array([None] * len(pdf), dtype="Int64"),
+            }
+            yield pd.DataFrame(rows)
+
+    return ids.select(F.col("media_id").cast("long")).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
+IMAGE_STATS_SCHEMA = (
+    "media_id long, width int, height int,"
+    " mean_r double, mean_g double, mean_b double"
+)
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL decode path: payload -> decode_image -> per-channel means
+    (rounded 6). Raises on payloads whose format needs absent codecs —
+    this operator is for decodable (PPM/PGM/BMP) columns."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("media_id", "width", "height", "mean_r", "mean_g", "mean_b")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_image(p)
+                if px.ndim == 2:  # grayscale: replicate the single channel
+                    px = px[..., None].repeat(3, axis=2)
+                out["media_id"].append(mid)
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                means = px.reshape(-1, 3).mean(axis=0)
+                out["mean_r"].append(round(float(means[0]), 6))
+                out["mean_g"].append(round(float(means[1]), 6))
+                out["mean_b"].append(round(float(means[2]), 6))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        batches, schema=IMAGE_STATS_SCHEMA
     )
 
 

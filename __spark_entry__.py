@@ -575,6 +575,25 @@ def q_image_decode_stats(spark, sf_dir):
     return image_pixel_stats(make_synthetic_images(ids, width=8, height=6))
 
 
+def q_audio_decode_stats(spark, sf_dir):
+    """REAL audio decode end-to-end (no codec libs): deterministic mono
+    PCM WAV payloads — sample(t) = ((3t + 11*media_id) mod 256 - 128) *
+    256 — genuinely encoded as RIFF bytes and decoded back by the
+    pure-NumPy WAV parser; the oracle computes mean amplitude and RMS
+    from the rule in closed form (functions/multimodal.py)."""
+    from dxa_pagerank_spark.functions.multimodal import (
+        audio_stats,
+        make_synthetic_audio,
+    )
+
+    ids = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select(F.col("doc_id").cast("long").alias("media_id"))
+    )
+    return audio_stats(make_synthetic_audio(ids, n_samples=480, rate=8000))
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: image payloads -> (n_bytes, feature dim)
     through the Arrow-batched (stub-decoder) kernel."""
@@ -1328,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "pagerank_resume_4rounds": q_pagerank_resume_4rounds,
         "image_decode_stats": q_image_decode_stats,
+        "audio_decode_stats": q_audio_decode_stats,
         # -- (1b) green in r01, missed by the r02 prefix ---------------
         "embedding_near_dup": q_embedding_near_dup,
         "token_counts": q_token_counts,
@@ -2970,6 +2990,21 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN c = 1 THEN v END), 6) AS mean_g,
                    round(avg(CASE WHEN c = 2 THEN v END), 6) AS mean_b
             FROM px GROUP BY media_id
+        """,
+        # the rule ((3t+11*id) mod 256 - 128)*256 over 480 samples; the
+        # engine reproduces it through ENCODED RIFF bytes + real decode
+        "audio_decode_stats": """
+            WITH ids AS (SELECT doc_id AS media_id FROM documents
+                         WHERE doc_id % 3 = 1),
+            s AS (SELECT i.media_id,
+                         (((3 * t.range + 11 * i.media_id) % 256) - 128)
+                             * 256 AS v
+                  FROM ids i, range(0, 480) t)
+            SELECT media_id, 480::BIGINT AS n_samples,
+                   8000::INT AS sample_rate, 1::INT AS channels,
+                   round(avg(v), 6) AS mean_amp,
+                   round(sqrt(avg(v * v)), 6) AS rms
+            FROM s GROUP BY media_id
         """,
         "media_features": """
             SELECT doc_id AS media_id,

@@ -115,10 +115,128 @@ def decode_image(payload: bytes) -> np.ndarray:
     )
 
 
-def decode_audio(payload: bytes) -> np.ndarray:
-    """REAL DECODER NOT AVAILABLE IN THIS CONTAINER (see decode_image)."""
-    raise NotImplementedError(
-        "audio codecs not installed; use fake=True for the deterministic stub"
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-NumPy audio decode for RIFF/WAVE PCM (the codec-free audio
+    container format): returns ((n_samples, channels) array, sample
+    rate). 16-bit (int16 LE) and 8-bit (uint8) PCM supported;
+    compressed codecs (MP3/AAC/...) are not in this container and raise
+    NotImplementedError."""
+    if payload is None:
+        raise NotImplementedError("empty payload")
+    payload = bytes(payload)
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "compressed audio codecs not installed (payload is not PCM WAV)"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise NotImplementedError("truncated WAV (missing fmt/data chunk)")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1 or bits not in (8, 16):
+        raise NotImplementedError("only 8/16-bit PCM WAV supported")
+    if bits == 16:
+        samples = np.frombuffer(data, dtype="<i2")
+    else:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128
+    return samples.reshape(-1, channels), rate
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """(n, channels) int16 -> RIFF/WAVE PCM bytes (the inverse of
+    decode_audio's 16-bit leg)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    channels = samples.shape[1]
+    data = samples.astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * channels * 2).to_bytes(4, "little")
+        + (channels * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(body)).to_bytes(4, "little") + b"WAVE" + body
+
+
+# arithmetic sample rule (closed-form for SQL oracles):
+#   sample(t) = ((3t + 11*media_id) mod 256 - 128) * 256
+def _rule_samples(media_id: int, n: int) -> np.ndarray:
+    t = np.arange(n, dtype=np.int64)
+    return (((3 * t + 11 * media_id) % 256 - 128) * 256).astype(np.int16)
+
+
+def make_synthetic_audio(
+    ids: DataFrame, n_samples: int = 480, rate: int = 8000
+) -> DataFrame:
+    """Deterministic mono PCM WAV table from (media_id bigint): REAL
+    RIFF bytes that decode_audio round-trips, samples from the
+    arithmetic rule above."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": ["audio"] * len(pdf),
+                    "mime": ["audio/wav"] * len(pdf),
+                    "payload": [
+                        encode_wav(_rule_samples(int(m), n_samples), rate)
+                        for m in pdf["media_id"]
+                    ],
+                    "width": pd.array([None] * len(pdf), dtype="Int32"),
+                    "height": pd.array([None] * len(pdf), dtype="Int32"),
+                    "duration_ms": [n_samples * 1000 // rate] * len(pdf),
+                }
+            )
+
+    return ids.select(F.col("media_id").cast("long")).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
+
+
+AUDIO_STATS_SCHEMA = (
+    "media_id long, n_samples long, sample_rate int, channels int,"
+    " mean_amp double, rms double"
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """REAL decode path: payload -> decode_audio -> sample statistics
+    (mean amplitude and RMS over all channels, rounded 6)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("media_id", "n_samples", "sample_rate", "channels",
+                    "mean_amp", "rms")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = decode_audio(p)
+                x = samples.astype(np.float64)
+                out["media_id"].append(mid)
+                out["n_samples"].append(samples.shape[0])
+                out["sample_rate"].append(rate)
+                out["channels"].append(samples.shape[1])
+                out["mean_amp"].append(round(float(x.mean()), 6))
+                out["rms"].append(round(float(np.sqrt((x * x).mean())), 6))
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        batches, schema=AUDIO_STATS_SCHEMA
     )
 
 

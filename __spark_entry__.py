@@ -635,6 +635,31 @@ def q_hits_5rounds(spark, sf_dir):
     )
 
 
+def q_site_betweenness(spark, sf_dir):
+    """Pivot-sampled Brandes betweenness (operators/betweenness.py)
+    over the site graph, pivots = the 4 highest-out-degree sites
+    (distinct successors, ties min id) — the same rule derives the
+    pivots in the SQL oracle, which unrolls the forward BFS/sigma pass
+    and the backward dependency sweep level by level (measured site-
+    graph BFS depth at sf0.01 is 3; the oracle unrolls 6)."""
+    from dxa_pagerank_spark.operators.betweenness import betweenness
+    from dxa_pagerank_spark.operators.sitegraph import site_rollup
+
+    sites = site_rollup(_web_edges(spark, sf_dir), block_size=_SITE_BLOCK)
+    e = sites.select("src", "dst").distinct()
+    pivots = [
+        r["src"]
+        for r in e.groupBy("src")
+        .agg(F.countDistinct("dst").alias("deg"))
+        .orderBy(F.col("deg").desc(), F.col("src").asc())
+        .limit(4)
+        .collect()
+    ]
+    return betweenness(spark, e, pivots, max_depth=8).select(
+        "id", F.round("betweenness", 6).alias("betweenness")
+    )
+
+
 def q_web_salsa(spark, sf_dir):
     """SALSA (Lempel & Moran, operators/salsa.py) over the synthetic web
     edge multiset, 4 L1-normalized rounds; unrolled DuckDB oracle with
@@ -1324,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_neighborhood": q_web_neighborhood,
         "web_spam_mass": q_web_spam_mass,
         "web_salsa": q_web_salsa,
+        "site_betweenness": q_site_betweenness,
         "k_truss_4": q_k_truss_4,
         "sequence_packing": q_sequence_packing,
         "packing_report": q_packing_report,
@@ -1522,6 +1548,52 @@ def _salsa_rounds_sql(k: int, edges_sql: str) -> str:
             f" FROM a{i} LEFT JOIN hr{i} ON a{i}.id = hr{i}.id)",
         ]
     return ",\n".join(parts) + "\n"
+
+
+def _site_betweenness_sql(depth: int = 6) -> str:
+    """Unrolled Brandes over the distinct site graph (operators/
+    betweenness.py semantics): forward BFS levels v0..v{depth} carrying
+    shortest-path counts (sigma), then backward dependency CTEs
+    d{depth}..d0 via a correlated successor sum. Pivots = 4 highest-
+    out-degree sites (distinct successors, ties min id). Unrolled
+    levels past the true depth are empty and contribute nothing."""
+    site_edges = _SITE_EDGES_SQL.format(web_edges=_WEB_EDGES_SQL)
+    parts = [
+        f"WITH sedge AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({site_edges}))",
+        "sverts AS MATERIALIZED (SELECT src AS id FROM sedge UNION SELECT dst FROM sedge)",
+        "piv AS MATERIALIZED (SELECT src AS s FROM sedge GROUP BY src"
+        " ORDER BY count(DISTINCT dst) DESC, src ASC LIMIT 4)",
+        "v0 AS MATERIALIZED (SELECT s, s AS v, 1.0 AS sigma FROM piv)",
+        "vis0 AS MATERIALIZED (SELECT * FROM v0)",
+    ]
+    for l in range(1, depth + 1):
+        parts += [
+            f"v{l} AS MATERIALIZED (SELECT p.s, e.dst AS v, sum(p.sigma) AS sigma"
+            f" FROM v{l - 1} p JOIN sedge e ON p.v = e.src"
+            f" WHERE NOT EXISTS (SELECT 1 FROM vis{l - 1} x"
+            f" WHERE x.s = p.s AND x.v = e.dst) GROUP BY p.s, e.dst)",
+            f"vis{l} AS MATERIALIZED (SELECT * FROM vis{l - 1}"
+            f" UNION ALL SELECT * FROM v{l})",
+        ]
+    parts.append(
+        f"d{depth} AS MATERIALIZED (SELECT s, v, 0.0 AS delta FROM v{depth})"
+    )
+    for l in range(depth - 1, -1, -1):
+        parts.append(
+            f"d{l} AS MATERIALIZED (SELECT a.s, a.v, coalesce("
+            f"(SELECT sum(a.sigma / w.sigma * (1 + dw.delta))"
+            f" FROM sedge e JOIN v{l + 1} w ON w.s = a.s AND w.v = e.dst"
+            f" JOIN d{l + 1} dw ON dw.s = w.s AND dw.v = w.v"
+            f" WHERE e.src = a.v), 0) AS delta FROM v{l} a)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM d{i}" for i in range(depth + 1))
+    parts.append(f"alld AS ({union})")
+    return (
+        ",\n".join(parts)
+        + "\nSELECT sv.id, round(coalesce(bc.b, 0), 6) AS betweenness"
+        " FROM sverts sv LEFT JOIN (SELECT v, sum(delta) AS b FROM alld"
+        " WHERE v <> s GROUP BY v) bc ON sv.id = bc.v"
+    )
 
 
 def _kcore_sql(k: int, rounds: int) -> str:
@@ -2763,6 +2835,7 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT id, round(auth, 6) AS auth, round(hub, 6) AS hub FROM hs5",
         "web_salsa": _salsa_rounds_sql(4, _WEB_EDGES_SQL)
         + "SELECT id, round(auth, 6) AS auth, round(hub, 6) AS hub FROM ss4",
+        "site_betweenness": _site_betweenness_sql(6),
         # 24 unrolled peels >> observed peeling depth at sf0.01 (4); the
         # peel map is idempotent at the fixpoint, so slack is harmless
         "k_core_3": _kcore_sql(3, 24) + "SELECT id, degree FROM core",

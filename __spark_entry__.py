@@ -409,6 +409,35 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+def _emb_double(spark, sf_dir):
+    return _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    """Lloyd k-means over the embeddings (functions/clustering.py):
+    deterministic arithmetic init, 2 fixed iterations, min-index ties,
+    empty-cluster carry — the SQL oracle replays training + assignment
+    end to end (integer output: no float rounding in the compare)."""
+    from dxa_pagerank_spark.functions.clustering import kmeans_assign
+
+    assigned, _ = kmeans_assign(_emb_double(spark, sf_dir), k=8, iters=2)
+    return assigned.withColumnRenamed("id", "vec_id")
+
+
+def q_semdedup_prune(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) pruning decisions: k-means
+    clusters, then within-cluster cosine >= 0.35 against any smaller id
+    marks a semantic duplicate (keep-min-id)."""
+    from dxa_pagerank_spark.functions.clustering import semdedup
+
+    return semdedup(
+        _emb_double(spark, sf_dir), k=8, iters=2, threshold=0.35
+    ).withColumnRenamed("id", "vec_id")
+
+
 def q_ann_topk(spark, sf_dir):
     from dxa_pagerank_spark.functions.similarity import brute_force_topk
 
@@ -1374,6 +1403,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_resume_4rounds": q_pagerank_resume_4rounds,
         "image_decode_stats": q_image_decode_stats,
         "audio_decode_stats": q_audio_decode_stats,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semdedup_prune": q_semdedup_prune,
         # -- (1b) green in r01, missed by the r02 prefix ---------------
         "embedding_near_dup": q_embedding_near_dup,
         "token_counts": q_token_counts,
@@ -2266,6 +2297,77 @@ _SUBSTRING_STATS_SQL = (
 )
 
 
+def _kmeans_cte_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """CTE chain replaying functions/clustering.py's deterministic
+    k-means: arithmetic init (c0), per-iteration argmin assignment
+    (row_number over (dist, cluster)) and element-wise mean update with
+    empty-cluster carry (coalesce), final assignment `af(vec_id,
+    cluster)` against c{iters}. Distance = index-ordered sum of squared
+    diffs, the same fold the engine computes."""
+
+    def dist(e_v: str, c_cent: str) -> str:
+        return (
+            f"list_sum(list_transform(list_zip({e_v}, {c_cent}),"
+            f" p -> (p[1] - p[2]) * (p[1] - p[2])))"
+        )
+
+    parts = [
+        "WITH emb AS MATERIALIZED (SELECT vec_id,"
+        " list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
+        f"nst AS (SELECT greatest(count(*) // {k}, 1) AS stride FROM emb)",
+        f"c0 AS MATERIALIZED ("
+        f" SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cent"
+        f" FROM emb WHERE vec_id % (SELECT stride FROM nst) = 0"
+        f" AND vec_id < (SELECT stride FROM nst) * {k})",
+    ]
+    for i in range(1, iters + 1):
+        parts += [
+            f"a{i} AS MATERIALIZED (SELECT vec_id, cluster FROM ("
+            f" SELECT e.vec_id, c.cluster, row_number() OVER ("
+            f" PARTITION BY e.vec_id ORDER BY {dist('e.v', 'c.cent')} ASC,"
+            f" c.cluster ASC) AS rn FROM emb e CROSS JOIN c{i - 1} c) t"
+            f" WHERE rn = 1)",
+            f"c{i} AS MATERIALIZED (SELECT c.cluster,"
+            f" coalesce(n.cent, c.cent) AS cent FROM c{i - 1} c LEFT JOIN ("
+            f" SELECT cluster, list(m ORDER BY pos) AS cent FROM ("
+            f" SELECT a.cluster, t.i AS pos, avg(e.v[t.i]) AS m"
+            f" FROM a{i} a JOIN emb e USING (vec_id),"
+            f" unnest(generate_series(1, {dim})) t(i)"
+            f" GROUP BY a.cluster, t.i) s GROUP BY cluster) n"
+            f" ON n.cluster = c.cluster)",
+        ]
+    parts.append(
+        f"af AS MATERIALIZED (SELECT vec_id, cluster FROM ("
+        f" SELECT e.vec_id, c.cluster, row_number() OVER ("
+        f" PARTITION BY e.vec_id ORDER BY {dist('e.v', 'c.cent')} ASC,"
+        f" c.cluster ASC) AS rn FROM emb e CROSS JOIN c{iters} c) t"
+        f" WHERE rn = 1)"
+    )
+    return ",\n".join(parts) + "\n"
+
+
+_KMEANS_SQL = _kmeans_cte_sql() + "SELECT vec_id, cluster FROM af"
+
+_SEMDEDUP_SQL = (
+    _kmeans_cte_sql()
+    + """,
+    dups AS (
+        SELECT DISTINCT aw.vec_id FROM af au
+        JOIN emb eu ON au.vec_id = eu.vec_id
+        JOIN af aw ON aw.cluster = au.cluster AND au.vec_id < aw.vec_id
+        JOIN emb ew ON aw.vec_id = ew.vec_id
+        WHERE list_sum(list_transform(list_zip(eu.v, ew.v),
+                                      p -> p[1] * p[2]))
+              / (sqrt(list_sum(list_transform(eu.v, x -> x * x)))
+                 * sqrt(list_sum(list_transform(ew.v, x -> x * x))))
+              >= 0.35)
+    SELECT a.vec_id, a.cluster,
+           (d.vec_id IS NOT NULL) AS is_dup
+    FROM af a LEFT JOIN dups d ON a.vec_id = d.vec_id
+"""
+)
+
+
 # BM25 (functions/retrieval.py): float expression trees mirror the
 # Spark column algebra operation-for-operation (same associativity), so
 # round(6) values are engine-identical; per-(query, doc) sums have <= 2
@@ -2998,6 +3100,8 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup_spans": _SUBSTRING_SPANS_SQL,
         "substring_dedup_stats": _SUBSTRING_STATS_SQL,
         "bm25_topk": _BM25_SQL,
+        "kmeans_clusters": _KMEANS_SQL,
+        "semdedup_prune": _SEMDEDUP_SQL,
         "dedup_exact_stats": """
             SELECT count(*) AS n_docs,
                    count(DISTINCT md5(text)) AS n_unique,

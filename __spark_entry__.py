@@ -416,6 +416,34 @@ def _emb_double(spark, sf_dir):
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING (functions/bpe.py): 8 merges learned
+    from the documents corpus (count desc, lexicographic ties). The
+    oracle unrolls all 8 rounds — pair counting over the evolving
+    symbolization, scalar argmax, marker-aligned replace — in SQL."""
+    from dxa_pagerank_spark.functions.bpe import train_bpe
+
+    merges = train_bpe(_t(spark, sf_dir, "documents"), n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, x, y, n) for i, (x, y, n) in enumerate(merges)],
+        "merge_rank INT, x STRING, y STRING, pair_count LONG",
+    )
+
+
+def q_bpe_token_counts(spark, sf_dir):
+    """BPE APPLICATION: corpus token frequencies under the 8 learned
+    merges (pure projection: a chain of literal replaces + one explode),
+    top 30 by (count desc, token asc)."""
+    from dxa_pagerank_spark.functions.bpe import (
+        bpe_token_frequencies,
+        train_bpe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = train_bpe(docs, n_merges=8)
+    return bpe_token_frequencies(docs, merges, top=30)
+
+
 def q_kmeans_clusters(spark, sf_dir):
     """Lloyd k-means over the embeddings (functions/clustering.py):
     deterministic arithmetic init, 2 fixed iterations, min-index ties,
@@ -1405,6 +1433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_decode_stats": q_audio_decode_stats,
         "kmeans_clusters": q_kmeans_clusters,
         "semdedup_prune": q_semdedup_prune,
+        "bpe_merges": q_bpe_merges,
+        "bpe_token_counts": q_bpe_token_counts,
         # -- (1b) green in r01, missed by the r02 prefix ---------------
         "embedding_near_dup": q_embedding_near_dup,
         "token_counts": q_token_counts,
@@ -2297,6 +2327,38 @@ _SUBSTRING_STATS_SQL = (
 )
 
 
+def _bpe_cte_sql(rounds: int = 8) -> str:
+    """CTE chain replaying functions/bpe.py training: s0 = marker-
+    prefixed symbolization of the (word, count) multiset; per round r,
+    p{r} counts adjacent symbol pairs, m{r} is the deterministic argmax
+    (count desc, x asc, y asc), s{r} advances by one marker-aligned
+    replace (DuckDB replace() is leftmost-nonoverlapping, same as the
+    engine's). Defines m1..m{rounds} and s{rounds}."""
+    parts = [
+        "WITH words AS MATERIALIZED (SELECT word, count(*) AS cnt FROM ("
+        " SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))"
+        " AS word FROM documents) t GROUP BY word)",
+        "s0 AS MATERIALIZED (SELECT chr(31) ||"
+        " array_to_string(string_split(word, ''), chr(31)) AS s, cnt"
+        " FROM words)",
+    ]
+    for r in range(1, rounds + 1):
+        parts += [
+            f"p{r} AS (SELECT sym[i] AS x, sym[i + 1] AS y, sum(cnt) AS n"
+            f" FROM (SELECT sym, cnt, unnest(range(1, len(sym))) AS i"
+            f" FROM (SELECT list_filter(string_split(s, chr(31)),"
+            f" z -> z <> '') AS sym, cnt FROM s{r - 1}) q) u"
+            f" GROUP BY 1, 2)",
+            f"m{r} AS MATERIALIZED (SELECT x, y, n FROM p{r}"
+            f" ORDER BY n DESC, x ASC, y ASC LIMIT 1)",
+            f"s{r} AS MATERIALIZED (SELECT replace(s,"
+            f" chr(31) || (SELECT x FROM m{r}) || chr(31) || (SELECT y FROM m{r}),"
+            f" chr(31) || (SELECT x FROM m{r}) || (SELECT y FROM m{r})) AS s,"
+            f" cnt FROM s{r - 1})",
+        ]
+    return ",\n".join(parts) + "\n"
+
+
 def _kmeans_cte_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
     """CTE chain replaying functions/clustering.py's deterministic
     k-means: arithmetic init (c0), per-iteration argmin assignment
@@ -3102,6 +3164,20 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_SQL,
         "kmeans_clusters": _KMEANS_SQL,
         "semdedup_prune": _SEMDEDUP_SQL,
+        "bpe_merges": _bpe_cte_sql(8)
+        + " UNION ALL ".join(
+            f"SELECT {r}::INT AS merge_rank, x, y, n::BIGINT AS pair_count"
+            f" FROM m{r}"
+            for r in range(1, 9)
+        ),
+        "bpe_token_counts": _bpe_cte_sql(8)
+        + """,
+    tok AS (SELECT t AS token, sum(cnt)::BIGINT AS n FROM (
+        SELECT unnest(list_filter(string_split(s, chr(31)),
+                                  z -> z <> '')) AS t, cnt
+        FROM s8) u GROUP BY t)
+    SELECT token, n FROM tok ORDER BY n DESC, token ASC LIMIT 30
+""",
         "dedup_exact_stats": """
             SELECT count(*) AS n_docs,
                    count(DISTINCT md5(text)) AS n_unique,

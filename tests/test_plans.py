@@ -324,3 +324,40 @@ def test_dsir_plans(spark):
     topk = _plan(dsir_sample(docs, F.col("doc_id") < 2, k=2, n_buckets=16))
     assert "TakeOrdered" in topk
     assert "BatchEvalPython" not in topk
+
+
+def test_salsa_betweenness_kmeans_bpe_plans(spark):
+    """r03 third-batch operators: equi-joins only (no Cartesian/BNLJ),
+    JVM-only data path for the column programs."""
+    from dxa_pagerank_spark.functions.bpe import apply_bpe
+    from dxa_pagerank_spark.functions.clustering import kmeans_assign
+    from dxa_pagerank_spark.operators.betweenness import betweenness
+    from dxa_pagerank_spark.operators.salsa import salsa
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long"
+    )
+    for df in (
+        salsa(spark, edges, rounds=1),
+        betweenness(spark, edges, [1]),
+    ):
+        p = _plan(df)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "BatchEvalPython" not in p
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), float(i % 3)]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, _ = kmeans_assign(emb, k=2, iters=1)
+    pa = _plan(assigned)
+    # assignment is a pure projection against literal centroids:
+    # no join, no exchange, no Python
+    assert "Join" not in pa and "Exchange" not in pa
+    assert "BatchEvalPython" not in pa
+
+    docs = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+    pb = _plan(apply_bpe(docs, [("a", "b")]))
+    assert "Join" not in pb and "Exchange" not in pb
+    assert "BatchEvalPython" not in pb

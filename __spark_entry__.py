@@ -462,7 +462,10 @@ def q_semdedup_prune(spark, sf_dir):
     from dxa_pagerank_spark.functions.clustering import semdedup
 
     return semdedup(
-        _emb_double(spark, sf_dir), k=8, iters=2, threshold=0.35
+        _emb_double(spark, sf_dir), k=8, iters=2, threshold=0.35,
+        max_cluster=10_000,  # fail loudly on a mega-cluster instead of
+        # running a silently-quadratic self-join (SCALE.md rule #4);
+        # the guard is an extra count, the pairs below it are identical
     ).withColumnRenamed("id", "vec_id")
 
 

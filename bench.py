@@ -140,6 +140,24 @@ def main() -> None:
         "salsa_sf",
         lambda: entrymod.q_web_salsa(spark, SF_DIR).count(),
     )
+    timed(
+        "bm25_sf",
+        lambda: entrymod.q_bm25_topk(spark, SF_DIR).count(),
+    )
+    timed(
+        "bpe_train_sf",
+        lambda: entrymod.q_bpe_merges(spark, SF_DIR).count(),
+    )
+    timed(
+        "semdedup_sf",
+        lambda: entrymod.q_semdedup_prune(spark, SF_DIR).filter(
+            F.col("is_dup")
+        ).count(),
+    )
+    timed(
+        "betweenness_sf",
+        lambda: entrymod.q_site_betweenness(spark, SF_DIR).count(),
+    )
 
     # --- synthetic PageRank hot loop: the BASELINE.json metric ---
     # csr (the north_star kernel) is the headline; the general df loop

@@ -131,6 +131,7 @@ def betweenness(
     )
     out = verts.join(bc, verts["id"] == bc["v"], "left").select(
         "id", F.coalesce("b", F.lit(0.0)).alias("betweenness")
-    )
+    ).localCheckpoint(eager=True)
     e.unpersist()
+    verts.unpersist()
     return out

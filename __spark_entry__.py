@@ -720,6 +720,34 @@ def q_site_betweenness(spark, sf_dir):
     )
 
 
+def q_site_sssp(spark, sf_dir):
+    """Multi-source weighted shortest paths (operators/sssp.py) on the
+    site graph, edge cost = 1 / link multiplicity (strong links are
+    cheap), sources = the betweenness pivots (same 4-highest-out-degree
+    rule). Oracle unrolls the Bellman-Ford relaxation 20 rounds (>= the
+    longest simple path in the 20-site graph; extra rounds are
+    idempotent at the fixpoint)."""
+    from dxa_pagerank_spark.operators.sitegraph import site_rollup
+    from dxa_pagerank_spark.operators.sssp import shortest_paths
+
+    sites = site_rollup(_web_edges(spark, sf_dir), block_size=_SITE_BLOCK)
+    dedup = sites.select("src", "dst").distinct()
+    pivots = [
+        r["src"]
+        for r in dedup.groupBy("src")
+        .agg(F.countDistinct("dst").alias("deg"))
+        .orderBy(F.col("deg").desc(), F.col("src").asc())
+        .limit(4)
+        .collect()
+    ]
+    weighted = sites.select(
+        "src", "dst", (F.lit(1.0) / F.col("weight")).alias("cost")
+    )
+    return shortest_paths(
+        spark, weighted, pivots, weight_col="cost"
+    ).select("s", "id", F.round("dist", 6).alias("dist"))
+
+
 def q_web_salsa(spark, sf_dir):
     """SALSA (Lempel & Moran, operators/salsa.py) over the synthetic web
     edge multiset, 4 L1-normalized rounds; unrolled DuckDB oracle with
@@ -1410,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_spam_mass": q_web_spam_mass,
         "web_salsa": q_web_salsa,
         "site_betweenness": q_site_betweenness,
+        "site_sssp": q_site_sssp,
         "k_truss_4": q_k_truss_4,
         "sequence_packing": q_sequence_packing,
         "packing_report": q_packing_report,
@@ -1657,6 +1686,34 @@ def _site_betweenness_sql(depth: int = 6) -> str:
         + "\nSELECT sv.id, round(coalesce(bc.b, 0), 6) AS betweenness"
         " FROM sverts sv LEFT JOIN (SELECT v, sum(delta) AS b FROM alld"
         " WHERE v <> s GROUP BY v) bc ON sv.id = bc.v"
+    )
+
+
+def _site_sssp_sql(rounds: int = 20) -> str:
+    """Unrolled multi-source Bellman-Ford on the weighted site graph
+    (operators/sssp.py semantics, cost = 1/weight): d{r}(s, v) = min
+    cost over paths of <= r edges; with non-negative costs the fixpoint
+    is reached within the longest simple path, so extra unrolled rounds
+    are idempotent. Path costs accumulate strictly in path order in
+    both engines, so the min is value-exact."""
+    site_edges = _SITE_EDGES_SQL.format(web_edges=_WEB_EDGES_SQL)
+    parts = [
+        f"WITH sedge AS MATERIALIZED ({site_edges})",
+        "piv AS MATERIALIZED (SELECT src AS s FROM sedge GROUP BY src"
+        " ORDER BY count(DISTINCT dst) DESC, src ASC LIMIT 4)",
+        "d0 AS MATERIALIZED (SELECT s, s AS v, 0.0 AS dist FROM piv)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT s, v, min(dist) AS dist FROM ("
+            f" SELECT * FROM d{r - 1}"
+            f" UNION ALL SELECT d.s, e.dst AS v, d.dist + 1.0 / e.weight"
+            f" FROM d{r - 1} d JOIN sedge e ON d.v = e.src) t"
+            f" GROUP BY s, v)"
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT s, v AS id, round(dist, 6) AS dist FROM d{rounds}"
     )
 
 
@@ -3003,6 +3060,7 @@ def oracle_sql() -> dict[str, str]:
         "web_salsa": _salsa_rounds_sql(4, _WEB_EDGES_SQL)
         + "SELECT id, round(auth, 6) AS auth, round(hub, 6) AS hub FROM ss4",
         "site_betweenness": _site_betweenness_sql(6),
+        "site_sssp": _site_sssp_sql(20),
         # 24 unrolled peels >> observed peeling depth at sf0.01 (4); the
         # peel map is idempotent at the fixpoint, so slack is harmless
         "k_core_3": _kcore_sql(3, 24) + "SELECT id, degree FROM core",

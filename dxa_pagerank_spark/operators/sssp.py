@@ -44,11 +44,16 @@ def shortest_paths(
     )
     e = (
         edges.select("src", "dst", cost.alias("w"))
-        .filter(F.col("w") >= 0)
         .repartition(P, "src")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     e.count()
+    # fail loudly on a negative cost: Bellman-Ford with the frontier
+    # cutoff (and the bounded-round oracle) is only correct for w >= 0,
+    # and silently dropping such edges would return wrong distances
+    if e.filter(F.col("w") < 0).limit(1).count() > 0:
+        e.unpersist()
+        raise ValueError("shortest_paths requires non-negative edge costs")
     verts = e.select(F.col("src").alias("id")).union(
         e.select(F.col("dst").alias("id"))
     ).distinct()

@@ -78,3 +78,11 @@ def test_relaxation_beats_greedy_hop_path(spark):
 
 def test_missing_source_ignored(spark):
     _check(spark, WEIGHTED, [1, 999])
+
+
+def test_negative_cost_raises(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, -0.5)], "src LONG, dst LONG, w DOUBLE"
+    )
+    with pytest.raises(ValueError):
+        shortest_paths(spark, df, [1], weight_col="w")

@@ -1422,6 +1422,45 @@ def q_web_neighborhood(spark, sf_dir):
     return neighborhood_function(spark, _web_edges(spark, sf_dir), rounds=6)
 
 
+def q_web_effective_diameter(spark, sf_dir):
+    """Interpolated 90% effective diameter of the page link graph
+    (operators/neighborhood.py effective_diameter — the ANF/HyperBall
+    headline statistic, derived from the same exact-mode neighborhood
+    curve the oracle recomputes via a recursive CTE)."""
+    from dxa_pagerank_spark.operators.neighborhood import effective_diameter
+
+    return effective_diameter(
+        spark, _web_edges(spark, sf_dir), rounds=6, fraction=0.9
+    ).select(
+        F.round("eff_diameter", 6).alias("eff_diameter"),
+        "t_ceil",
+        F.round("target_pairs", 6).alias("target_pairs"),
+        "max_pairs",
+    )
+
+
+def q_web_link_prediction(spark, sf_dir):
+    """Neighborhood link prediction over the undirected page graph
+    (operators/linkpred.py): non-adjacent pairs with >= 2 common
+    neighbors, scored by Adamic-Adar and Jaccard; shared vertices with
+    undirected degree > _PAIR_DEGREE_CAP dropped pre-join (same hub
+    cap as co-citation). The oracle replays the capped symmetric
+    self-join and both score formulas in SQL."""
+    from dxa_pagerank_spark.operators.linkpred import link_prediction
+
+    return link_prediction(
+        _web_edges(spark, sf_dir),
+        min_common=2,
+        max_degree=_PAIR_DEGREE_CAP,
+    ).select(
+        "a",
+        "b",
+        "n_common",
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver-verification priority. CORRECTNESS_r02
     shows the driver checks a prefix of this dict (it covered exactly
@@ -1432,6 +1471,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     scripts/check_contract.py regardless of driver budget."""
     return {
         # -- (1) added in round 3: no driver row yet -------------------
+        "web_link_prediction": q_web_link_prediction,
+        "web_effective_diameter": q_web_effective_diameter,
         "web_katz": q_web_katz,
         "web_harmonic": q_web_harmonic,
         "web_neighborhood": q_web_neighborhood,
@@ -2256,6 +2297,64 @@ _NEIGHBORHOOD_SQL = _DIST_CLOSURE_SQL + """
     SELECT gs.t::INT AS t, count(*) AS n_pairs
     FROM generate_series(0, {rounds}) gs(t) JOIN d ON d.dist <= gs.t
     GROUP BY gs.t
+"""
+
+# Interpolated effective diameter from the same distance closure
+# (operators/neighborhood.py effective_diameter): smallest t with
+# N(t) >= fraction*N(rounds), linear interpolation between the
+# bracketing rounds. The interpolation operands are identical exact
+# integers on both sides, so the IEEE result matches bit-for-bit.
+_EFFDIAM_SQL = _DIST_CLOSURE_SQL + """,
+    nf AS MATERIALIZED (
+        SELECT gs.t::INT AS t, count(*)::DOUBLE AS n
+        FROM generate_series(0, {rounds}) gs(t) JOIN d ON d.dist <= gs.t
+        GROUP BY gs.t),
+    c AS (SELECT t, n, lag(n) OVER (ORDER BY t) AS prev,
+                 {fraction} * max(n) OVER () AS target,
+                 max(n) OVER () AS max_n
+          FROM nf),
+    hit AS (SELECT * FROM c WHERE n >= target),
+    first AS (SELECT min(t) AS t_ceil FROM hit)
+    SELECT CASE WHEN h.t = 0 THEN 0.0
+                ELSE round(h.t - 1 + (h.target - h.prev) / (h.n - h.prev), 6)
+           END AS eff_diameter,
+           f.t_ceil::INT AS t_ceil,
+           round(h.target, 6) AS target_pairs,
+           h.max_n::BIGINT AS max_pairs
+    FROM hit h JOIN first f ON h.t = f.t_ceil
+"""
+
+# Link prediction (operators/linkpred.py): symmetrize the distinct
+# loop-free edge set, cap shared vertices at {cap} BEFORE the
+# self-join, score non-adjacent pairs by count / Adamic-Adar / Jaccard
+# with the UNCAPPED true degrees.
+_LINKPRED_SQL = """
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM ({web_edges}) we WHERE src <> dst),
+    und AS MATERIALIZED (
+        SELECT DISTINCT a, b FROM (
+            SELECT src AS a, dst AS b FROM e0
+            UNION ALL SELECT dst AS a, src AS b FROM e0) t),
+    deg AS MATERIALIZED (SELECT a AS id, count(*) AS d FROM und GROUP BY a),
+    ez AS MATERIALIZED (
+        SELECT und.a AS z, und.b AS v, deg.d AS dz
+        FROM und JOIN deg ON und.a = deg.id
+        WHERE deg.d <= {cap}),
+    pairs AS MATERIALIZED (
+        SELECT x.v AS a, y.v AS b, count(*) AS n_common,
+               sum(1.0 / ln(x.dz)) AS aa
+        FROM ez x JOIN ez y ON x.z = y.z AND x.v < y.v
+        GROUP BY 1, 2
+        HAVING count(*) >= {min_common})
+    SELECT p.a, p.b, p.n_common,
+           round(p.aa, 6) AS adamic_adar,
+           round(p.n_common::DOUBLE / (da.d + db.d - p.n_common), 6)
+               AS jaccard
+    FROM pairs p
+    JOIN deg da ON da.id = p.a
+    JOIN deg db ON db.id = p.b
+    LEFT JOIN und ON und.a = p.a AND und.b = p.b
+    WHERE und.a IS NULL
 """
 
 
@@ -3512,6 +3611,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "web_neighborhood": _NEIGHBORHOOD_SQL.format(
             web_edges=_WEB_EDGES_SQL, rounds=6
+        ),
+        "web_effective_diameter": _EFFDIAM_SQL.format(
+            web_edges=_WEB_EDGES_SQL, rounds=6, fraction=0.9
+        ),
+        "web_link_prediction": _LINKPRED_SQL.format(
+            web_edges=_WEB_EDGES_SQL, cap=_PAIR_DEGREE_CAP, min_common=2
         ),
         "web_spam_mass": _spammass_sql(10, _WEB_EDGES_SQL, "id % 50 = 1"),
         "web_walks": _walks_sql(_WEB_EDGES_SQL, length=4),

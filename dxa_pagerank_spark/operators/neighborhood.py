@@ -170,3 +170,58 @@ def neighborhood_function(
     if mode == "exact":
         agg = agg.cast("long")
     return prof.groupBy("t").agg(agg.alias("n_pairs"))
+
+
+def effective_diameter(
+    spark: SparkSession,
+    edges: DataFrame,
+    rounds: int = 6,
+    fraction: float = 0.9,
+    mode: str = "exact",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """-> one row (eff_diameter, t_ceil, target_pairs, max_pairs).
+
+    The standard interpolated effective diameter (Palmer/Faloutsos
+    ANF; Boldi/Vigna HyperBall — public literature): the smallest t
+    where N(t) >= fraction * N(rounds), linearly interpolated between
+    the two bracketing rounds:
+
+        d_eff = (t-1) + (target - N(t-1)) / (N(t) - N(t-1))
+
+    (0.0 when N(0) already meets the target). Derived entirely from
+    the (rounds+1)-row neighborhood-function curve, so the 100-TB cost
+    is the curve itself (``mode='hll'`` for the sketch path); the
+    interpolation below is a constant-size window computation.
+    """
+    nf = neighborhood_function(
+        spark, edges, rounds=rounds, mode=mode, num_partitions=num_partitions
+    )
+    w_all = Window.partitionBy()
+    w_t = Window.partitionBy().orderBy("t")
+    target = F.lit(float(fraction)) * F.max("n_pairs").over(w_all)
+    curve = nf.select(
+        "t",
+        F.col("n_pairs").cast("double").alias("n"),
+        F.lag(F.col("n_pairs").cast("double")).over(w_t).alias("prev"),
+        target.cast("double").alias("target"),
+        F.max(F.col("n_pairs").cast("double")).over(w_all).alias("max_n"),
+    )
+    hit = curve.filter(F.col("n") >= F.col("target"))
+    first = hit.groupBy().agg(F.min("t").alias("t_ceil"))
+    return (
+        hit.join(first, hit["t"] == first["t_ceil"])
+        .select(
+            F.when(F.col("t") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("t")
+                - 1
+                + (F.col("target") - F.col("prev"))
+                / (F.col("n") - F.col("prev"))
+            )
+            .alias("eff_diameter"),
+            F.col("t_ceil").cast("int").alias("t_ceil"),
+            F.col("target").alias("target_pairs"),
+            F.col("max_n").cast("long").alias("max_pairs"),
+        )
+    )

@@ -1387,6 +1387,27 @@ def q_dsir_sample(spark, sf_dir):
     )
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style hashed linear quality classifier
+    (functions/qualityclf.py, Joulin et al. 2016 — the model-based
+    filtering stage of GPT-3/LLaMA/CCNet pipelines): hashed uni+bigram
+    features, broadcast B-row weight table (deterministic Knuth
+    stand-in standing where a trained model plugs in), per-doc
+    mean-weight score, sigmoid, keep = score >= 0. The oracle replays
+    hashing, weights, and verdict bit-for-bit."""
+    from dxa_pagerank_spark.functions.qualityclf import quality_classifier
+
+    return quality_classifier(
+        _t(spark, sf_dir, "documents"), n_buckets=512
+    ).select(
+        "id",
+        "n_feats",
+        F.round("score", 6).alias("score"),
+        F.round("prob", 6).alias("prob"),
+        "keep",
+    )
+
+
 def q_web_katz(spark, sf_dir):
     """Katz centrality over the page link graph (operators/katz.py):
     x_{t+1} = beta + alpha * A^T x_t, 5 rounds — attenuated in-path
@@ -1473,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (1) added in round 3: no driver row yet -------------------
         "web_link_prediction": q_web_link_prediction,
         "web_effective_diameter": q_web_effective_diameter,
+        "quality_classifier": q_quality_classifier,
         "web_katz": q_web_katz,
         "web_harmonic": q_web_harmonic,
         "web_neighborhood": q_web_neighborhood,
@@ -2192,6 +2214,52 @@ def _dsir_sample_sql(k: int, n_buckets: int, target_pred: str) -> str:
                FROM fulls)
     SELECT id, n_feats, round(log_w, 6) AS log_w, round(score, 6) AS score
     FROM scored ORDER BY score DESC, id LIMIT {int(k)}
+    """
+
+
+def _quality_clf_sql(n_buckets: int, bias: float, salt: int) -> str:
+    """Replica of functions/qualityclf.py: hashed uni+bigram features
+    (same FNV-1a-32 % B front end as DSIR), Knuth stand-in weight
+    table, per-doc mean-weight score, sigmoid, keep = score >= 0
+    (decided on the unrounded score, as the engine does)."""
+    B = int(n_buckets)
+    fnv = _fnv32_fold_sql(2166136261)
+    return f"""
+    WITH tl AS MATERIALIZED (
+        SELECT doc_id AS id,
+               list_filter(
+                   string_split_regex(
+                       regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                       ' +'),
+                   x -> x <> '') AS l
+        FROM documents),
+    feats AS MATERIALIZED (
+        SELECT id,
+               unnest(l || CASE WHEN len(l) >= 2 THEN
+                      list_transform(range(1, len(l)),
+                                     i -> l[i] || ' ' || l[i+1])
+                      ELSE [] END) AS tok
+        FROM tl),
+    b AS MATERIALIZED (
+        SELECT id, {fnv} % {B} AS bucket FROM feats),
+    pc AS MATERIALIZED (
+        SELECT id, bucket, count(*) AS n FROM b GROUP BY id, bucket),
+    w AS (SELECT bucket,
+                 (((bucket + {salt}) % 2147483648) * 2654435761)
+                     % 4294967296 / 4294967296.0 - 0.5 AS weight
+          FROM (SELECT unnest(range(0, {B})) AS bucket)),
+    sc AS (SELECT pc.id, sum(n)::BIGINT AS n_feats,
+                  sum(n * weight) AS wsum
+           FROM pc JOIN w USING (bucket) GROUP BY pc.id),
+    scored AS (SELECT d.doc_id AS id,
+                      coalesce(sc.n_feats, 0)::BIGINT AS n_feats,
+                      {float(bias)} + CASE WHEN sc.n_feats > 0
+                          THEN sc.wsum / sc.n_feats ELSE 0.0 END AS score
+               FROM documents d LEFT JOIN sc ON d.doc_id = sc.id)
+    SELECT id, n_feats, round(score, 6) AS score,
+           round(1.0 / (1.0 + exp(-score)), 6) AS prob,
+           (score >= 0) AS keep
+    FROM scored
     """
 
 
@@ -3603,6 +3671,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dsir_sample": _dsir_sample_sql(
             k=100, n_buckets=256, target_pred="d.lang = 'en'"
+        ),
+        "quality_classifier": _quality_clf_sql(
+            n_buckets=512, bias=0.0, salt=97
         ),
         "web_katz": _katz_rounds_sql(5, 0.1, 1.0, _WEB_EDGES_SQL)
         + "SELECT id, round(score, 6) AS score FROM k5",

@@ -1249,6 +1249,17 @@ def q_lm_quality(spark, sf_dir):
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_lm_quality_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity split
+    (functions/lmscore.py:perplexity_buckets, Wenzek et al. 2019):
+    per-language tertile cutoffs over the 6-dp unigram LM scores,
+    cutoffs rounded before the band comparison so engine and oracle
+    compare identical values; zero-token docs tagged 'empty'."""
+    from dxa_pagerank_spark.functions.lmscore import perplexity_buckets
+
+    return perplexity_buckets(_t(spark, sf_dir, "documents"))
+
+
 def q_decontamination(spark, sf_dir):
     """Benchmark decontamination (functions/lmscore.contaminated_ids):
     documents sharing any 3-gram with the 'benchmark' set (the first 5
@@ -1495,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_link_prediction": q_web_link_prediction,
         "web_effective_diameter": q_web_effective_diameter,
         "quality_classifier": q_quality_classifier,
+        "lm_quality_buckets": q_lm_quality_buckets,
         "web_katz": q_web_katz,
         "web_harmonic": q_web_harmonic,
         "web_neighborhood": q_web_neighborhood,
@@ -3743,6 +3755,37 @@ def oracle_sql() -> dict[str, str]:
                               THEN agg.nll / agg.n_tokens
                               ELSE 0.0 END, 6) AS mean_neg_logprob
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
+        "lm_quality_buckets": """
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS term
+                FROM documents),
+            pd AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                   GROUP BY doc_id, term),
+            vocab AS (SELECT term, sum(tf) AS ctf FROM pd GROUP BY term),
+            tot AS (SELECT sum(ctf)::DOUBLE AS t FROM vocab),
+            agg AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+                           sum(tf * -ln(ctf / (SELECT t FROM tot))) AS nll
+                    FROM pd JOIN vocab USING (term) GROUP BY doc_id),
+            scored AS MATERIALIZED (
+                SELECT d.doc_id AS id, d.lang,
+                       coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
+                       round(CASE WHEN coalesce(agg.n_tokens, 0) > 0
+                                  THEN agg.nll / agg.n_tokens
+                                  ELSE 0.0 END, 6) AS score
+                FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id),
+            cuts AS (SELECT lang,
+                            round(quantile_cont(score, 1.0/3), 6) AS c1,
+                            round(quantile_cont(score, 2.0/3), 6) AS c2
+                     FROM scored WHERE n_tokens > 0 GROUP BY lang)
+            SELECT s.id, s.lang, s.n_tokens, s.score,
+                   CASE WHEN s.n_tokens = 0 THEN 'empty'
+                        WHEN s.score <= c.c1 THEN 'head'
+                        WHEN s.score <= c.c2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM scored s LEFT JOIN cuts c USING (lang)
         """,
         "decontamination": """
             WITH tl AS MATERIALIZED (

@@ -129,3 +129,55 @@ def decontaminate(
         documents, benchmark, n, id_col, text_col, bench_text_col
     ).withColumnRenamed("id", id_col)
     return documents.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def perplexity_buckets(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """-> (id, lang, n_tokens, score, bucket): CCNet's head/middle/
+    tail split (Wenzek et al. 2019) — per-language tertile cutoffs
+    over the unigram LM scores; lower score = more probable text =
+    'head'. Zero-token documents are tagged 'empty' and excluded from
+    the cutoff fit.
+
+    Determinism contract: scores are the 6-dp-rounded
+    ``unigram_logprob`` output; cutoffs are linear-interpolated exact
+    percentiles of those rounded scores, themselves rounded to 6
+    places before the band comparison — so engine and oracle compare
+    identical 6-dp values. The cutoff table is |langs| x 2 and
+    broadcast back. At 100 TB the exact ``percentile`` (one sort per
+    language partition) is the oracle form; swap in
+    ``approx_percentile`` for the sketch path — the plan shape
+    (aggregate -> broadcast join -> CASE projection) is unchanged.
+    """
+    scored = unigram_logprob(documents, id_col, text_col)
+    langs = documents.select(
+        F.col(id_col).alias("id"), F.col(lang_col).alias("lang")
+    )
+    s = scored.join(langs, "id")
+    cuts = (
+        s.filter(F.col("n_tokens") > 0)
+        .groupBy("lang")
+        .agg(
+            F.round(
+                F.percentile(F.col("mean_neg_logprob"), F.lit(1.0 / 3)), 6
+            ).alias("c1"),
+            F.round(
+                F.percentile(F.col("mean_neg_logprob"), F.lit(2.0 / 3)), 6
+            ).alias("c2"),
+        )
+    )
+    return s.join(F.broadcast(cuts), "lang", "left").select(
+        "id",
+        "lang",
+        "n_tokens",
+        F.col("mean_neg_logprob").alias("score"),
+        F.when(F.col("n_tokens") == 0, F.lit("empty"))
+        .when(F.col("mean_neg_logprob") <= F.col("c1"), F.lit("head"))
+        .when(F.col("mean_neg_logprob") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

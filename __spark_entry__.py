@@ -1020,6 +1020,39 @@ def q_degree_assortativity(spark, sf_dir):
     )
 
 
+def q_web_triad_census(spark, sf_dir):
+    """Directed triad census of the SITE graph (the page graph's
+    arithmetic link rule makes page-level triangles vanishingly rare;
+    the host rollup is dense and hits several MAN classes): the 7
+    connected directed-triangle classes (030T..300) counted via the
+    skew-safe degree-ordered wedge closure + one pair-state join
+    (operators/motifs.py). The oracle enumerates id-ordered triangles
+    over the rolled-up arithmetic edge set and mirrors the
+    classification CASE operation-for-operation."""
+    from dxa_pagerank_spark.operators.motifs import triad_census
+    from dxa_pagerank_spark.operators.sitegraph import site_rollup
+
+    sites = site_rollup(_web_edges(spark, sf_dir), block_size=_SITE_BLOCK)
+    return triad_census(spark, sites)
+
+
+def q_lpa_modularity(spark, sf_dir):
+    """Newman modularity of the 10-round deterministic LPA communities
+    over the canonical graph (operators/graphstats.py modularity +
+    operators/labelprop.py). The oracle replays the identical 10
+    unrolled LPA rounds and the same Q formula in SQL."""
+    from dxa_pagerank_spark.operators.graphstats import modularity
+    from dxa_pagerank_spark.operators.labelprop import label_propagation
+
+    edges = _edges(spark, sf_dir)
+    labels = label_propagation(spark, edges, max_rounds=10)
+    return modularity(edges, labels).select(
+        "n_edges",
+        "n_communities",
+        F.round("modularity", 6).alias("modularity"),
+    )
+
+
 def q_corpus_curation(spark, sf_dir):
     """Composed training-corpus curation chain (exact dedup -> lang
     allow-list -> quality floor -> token band) reported per language —
@@ -1563,6 +1596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_distance_histogram": q_web_distance_histogram,
         "graph_reciprocity": q_graph_reciprocity,
         "degree_assortativity": q_degree_assortativity,
+        "web_triad_census": q_web_triad_census,
+        "lpa_modularity": q_lpa_modularity,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hits_5rounds": q_hits_5rounds,
@@ -2774,6 +2809,83 @@ _ASSORTATIVITY_SQL = """
     FROM s
 """
 
+# Triad census in SQL: pair-state table (fwd/bwd flags per undirected
+# pair), id-ordered triangle triple join, then the classification CASE
+# mirrored operation-for-operation from operators/motifs.py (all flag
+# arithmetic is integer, so the match is exact).
+_TRIAD_CENSUS_SQL = """
+    WITH d AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM ({web_edges}) we WHERE src <> dst),
+    ps AS MATERIALIZED (
+        SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+               max(CASE WHEN src < dst THEN 1 ELSE 0 END) AS fwd,
+               max(CASE WHEN src > dst THEN 1 ELSE 0 END) AS bwd
+        FROM d GROUP BY 1, 2),
+    tri AS MATERIALIZED (
+        SELECT e1.a AS v1, e1.b AS v2, e2.b AS v3
+        FROM ps e1 JOIN ps e2 ON e2.a = e1.b
+             JOIN ps e3 ON e3.a = e1.a AND e3.b = e2.b),
+    flags AS (
+        SELECT p12.fwd AS f12, p12.bwd AS g12,
+               p13.fwd AS f13, p13.bwd AS g13,
+               p23.fwd AS f23, p23.bwd AS g23
+        FROM tri t
+        JOIN ps p12 ON p12.a = t.v1 AND p12.b = t.v2
+        JOIN ps p13 ON p13.a = t.v1 AND p13.b = t.v3
+        JOIN ps p23 ON p23.a = t.v2 AND p23.b = t.v3),
+    cls AS (
+        SELECT CASE
+            WHEN f12*g12 + f13*g13 + f23*g23 = 3 THEN '300'
+            WHEN f12*g12 + f13*g13 + f23*g23 = 2 THEN '210'
+            WHEN f12*g12 + f13*g13 + f23*g23 = 0 THEN
+                CASE WHEN f12*f23*g13 + g12*g23*f13 = 1
+                     THEN '030C' ELSE '030T' END
+            ELSE CASE
+                WHEN (CASE WHEN f12*g12 = 1 THEN g13 + g23
+                           WHEN f13*g13 = 1 THEN g12 + f23
+                           ELSE f12 + f13 END) = 2 THEN '120D'
+                WHEN (CASE WHEN f12*g12 = 1 THEN g13 + g23
+                           WHEN f13*g13 = 1 THEN g12 + f23
+                           ELSE f12 + f13 END) = 0 THEN '120U'
+                ELSE '120C' END
+        END AS triad_class
+        FROM flags)
+    SELECT triad_class, count(*) AS n FROM cls GROUP BY triad_class
+"""
+
+
+def _lpa_modularity_sql(k: int) -> str:
+    """Newman modularity of the k-round unrolled LPA labels — the
+    labels CTE is the exact _lpa_rounds_sql(k) query, the Q formula
+    mirrors operators/graphstats.py modularity term-for-term."""
+    return f"""
+    WITH labels AS MATERIALIZED (SELECT * FROM ({_lpa_rounds_sql(k)}) lq),
+    edges AS MATERIALIZED ({_EDGES_SQL}),
+    und AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+    m AS (SELECT count(*) AS c FROM und),
+    tagged AS MATERIALIZED (
+        SELECT la.label AS ca, lb.label AS cb
+        FROM und JOIN labels la ON und.a = la.id
+                 JOIN labels lb ON und.b = lb.id),
+    intra AS (SELECT ca AS comm, count(*) AS mc FROM tagged
+              WHERE ca = cb GROUP BY ca),
+    deg AS (SELECT comm, count(*) AS dc FROM (
+                SELECT ca AS comm FROM tagged
+                UNION ALL SELECT cb FROM tagged) u GROUP BY comm),
+    per_c AS (
+        SELECT coalesce(intra.mc, 0) / (SELECT c FROM m)::DOUBLE
+               - (deg.dc / (2.0 * (SELECT c FROM m)))
+                 * (deg.dc / (2.0 * (SELECT c FROM m))) AS q
+        FROM deg LEFT JOIN intra ON deg.comm = intra.comm)
+    SELECT (SELECT c FROM m) AS n_edges,
+           count(*) AS n_communities,
+           round(sum(q), 6) AS modularity
+    FROM per_c
+    """
+
+
 # Curation chain in SQL: min-id-per-md5 keep set, then the same quality
 # / token expressions as the doc_quality and doc_stats oracles, then
 # the allow-list and bands, aggregated per lang.
@@ -3716,6 +3828,10 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": _ASSORTATIVITY_SQL.format(
             web_edges=_WEB_EDGES_SQL
         ),
+        "web_triad_census": _TRIAD_CENSUS_SQL.format(
+            web_edges=_SITE_EDGES_SQL.format(web_edges=_WEB_EDGES_SQL)
+        ),
+        "lpa_modularity": _lpa_modularity_sql(10),
         "corpus_curation": _CURATION_SQL,
         "stratified_sample": _strat_sample_sql(),
         "web_boilerplate_lines": _WEB_BOILERPLATE_LINES_SQL,

@@ -1,5 +1,5 @@
-"""Whole-graph structural statistics: reciprocity and degree
-assortativity.
+"""Whole-graph structural statistics: reciprocity, degree
+assortativity, and partition modularity.
 
 Standard link-graph characterization metrics (Newman, "Assortative
 mixing in networks", PRL 89, 2002; reciprocity is classic in web-graph
@@ -90,4 +90,75 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
                 * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
             )
         ).alias("assortativity"),
+    )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """1-row (n_edges, n_communities, modularity): Newman modularity Q
+    of the community assignment ``labels(id, label)`` over the
+    undirected simple graph,
+
+        Q = sum_c [ m_c / m  -  (d_c / (2m))^2 ]
+
+    with m the undirected edge count, m_c the intra-community edge
+    count, and d_c the community degree sum (Newman & Girvan 2004).
+    Vertices missing from ``labels`` count as singleton communities
+    (contributing only their degree term), so Q is total over the edge
+    set regardless of labels coverage.
+
+    Physical shape: symmetrize+dedupe once; two equi-joins attach the
+    endpoint labels (the labels table shuffles, keyed by vertex — at
+    web scale it is the small side per partition and AQE can broadcast
+    it); then two map-side-combinable aggregates (per-community sums →
+    one global row). No window functions, no driver iteration.
+    """
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    la = labels.select(F.col("id").alias("a"), F.col("label").alias("ca"))
+    lb = labels.select(F.col("id").alias("b"), F.col("label").alias("cb"))
+    # missing label -> singleton community keyed as -(id+1), which
+    # cannot collide with real labels (vertex-id labels are >= 0).
+    tagged = (
+        sym.join(la, "a", "left")
+        .join(lb, "b", "left")
+        .select(
+            F.coalesce(F.col("ca"), -F.col("a") - F.lit(1)).alias("ca"),
+            F.coalesce(F.col("cb"), -F.col("b") - F.lit(1)).alias("cb"),
+        )
+    )
+    m = tagged.count()
+    if m == 0:
+        sess = edges.sparkSession
+        return sess.createDataFrame(
+            [(0, 0, 0.0)], "n_edges long, n_communities long, modularity double"
+        )
+    # per-community: intra-edge count and degree sum (each edge adds 1
+    # to both endpoints' communities; an intra edge adds 2 to one).
+    intra = (
+        tagged.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("c"))
+        .agg(F.count(F.lit(1)).alias("mc"))
+    )
+    deg = (
+        tagged.select(F.explode(F.array("ca", "cb")).alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("dc"))
+    )
+    per_c = deg.join(intra, "c", "left").select(
+        "c",
+        (
+            F.coalesce(F.col("mc"), F.lit(0)) / F.lit(float(m))
+            - (F.col("dc") / F.lit(2.0 * m)) * (F.col("dc") / F.lit(2.0 * m))
+        ).alias("q"),
+    )
+    return per_c.agg(
+        F.lit(m).alias("n_edges"),
+        F.count(F.lit(1)).alias("n_communities"),
+        F.sum("q").alias("modularity"),
     )

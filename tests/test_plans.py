@@ -184,6 +184,20 @@ def test_ktruss_closing_join_is_equi_join(spark):
     assert "ArrowEvalPython" not in plan
 
 
+def test_triad_census_plan_equi_joins_only(spark):
+    """Triad census must stay all-equi-join (wedge closure + pair-state
+    attach): no cartesian anything, no Python in the plan."""
+    from dxa_pagerank_spark.operators.motifs import triad_census
+
+    src, dst = fast_synthetic_edges(2000, 4, seed=5)
+    edges = edges_to_spark(spark, src, dst)
+    plan = _plan(triad_census(spark, edges))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
 def test_walks_and_bfs_jvm_only(spark):
     from dxa_pagerank_spark.operators.bfs import bfs_levels
     from dxa_pagerank_spark.operators.walks import random_walks

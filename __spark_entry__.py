@@ -1053,6 +1053,45 @@ def q_lpa_modularity(spark, sf_dir):
     )
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Multinomial temperature re-balancing of the corpus across
+    languages (XLM/mT5 mixture rule, alpha=0.5: expected group sizes
+    proportional to sqrt(n_g)) — functions/sampling.py
+    temperature_sample. alpha=0.5 keeps the per-group threshold
+    IEEE-sqrt-exact, so the oracle recomputes group counts, thresholds,
+    and the multiplicative-hash decision bit-identically in SQL."""
+    from dxa_pagerank_spark.functions.sampling import temperature_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_sample(docs, "doc_id", "lang", alpha=0.5)
+
+
+def q_vocab_overlap(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between language sub-corpora
+    (functions/terms.py vocab_overlap) — corpus-composition analytics
+    over the same single-space tokenization as term_topk."""
+    from dxa_pagerank_spark.functions.terms import vocab_overlap
+
+    out = vocab_overlap(_t(spark, sf_dir, "documents"), group_col="lang")
+    return out.select(
+        "group_a", "group_b", "vocab_a", "vocab_b", "n_shared",
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_degree_skew(spark, sf_dir):
+    """In-degree skew profile of the page link graph (gini, exact
+    quantiles, hub share — operators/graphstats.py degree_skew_report):
+    the pre-flight diagnostic for salting / AQE-skew configuration. All
+    integer arithmetic until the two final divisions, so the SQL oracle
+    replays it exactly."""
+    from dxa_pagerank_spark.operators.graphstats import degree_skew_report
+
+    return degree_skew_report(
+        spark, _web_edges(spark, sf_dir), direction="in", top_k=10
+    )
+
+
 def q_corpus_curation(spark, sf_dir):
     """Composed training-corpus curation chain (exact dedup -> lang
     allow-list -> quality floor -> token band) reported per language —
@@ -1598,6 +1637,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": q_degree_assortativity,
         "web_triad_census": q_web_triad_census,
         "lpa_modularity": q_lpa_modularity,
+        "temperature_mix": q_temperature_mix,
+        "vocab_overlap": q_vocab_overlap,
+        "degree_skew": q_degree_skew,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hits_5rounds": q_hits_5rounds,
@@ -2886,6 +2928,67 @@ def _lpa_modularity_sql(k: int) -> str:
     """
 
 
+# Vocabulary Jaccard between language sub-corpora — same single-space
+# tokenization as _TOKENS_SQL, distinct per (lang, term), pair join
+# bounded by (#langs)^2 rows per term.
+_VOCAB_OVERLAP_SQL = """
+    WITH tok AS (
+        SELECT lang AS g, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+    v AS MATERIALIZED (
+        SELECT DISTINCT g, term FROM tok WHERE term <> ''),
+    sizes AS (SELECT g, count(*) AS vocab FROM v GROUP BY g),
+    shared AS (
+        SELECT a.g AS group_a, b.g AS group_b, count(*) AS n_shared
+        FROM v a JOIN v b ON a.term = b.term AND a.g < b.g
+        GROUP BY 1, 2)
+    SELECT group_a, group_b, sa.vocab AS vocab_a, sb.vocab AS vocab_b,
+           n_shared,
+           round(n_shared / (sa.vocab + sb.vocab - n_shared)::DOUBLE, 6)
+               AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.g = group_a
+    JOIN sizes sb ON sb.g = group_b
+"""
+
+# In-degree skew profile — mirrors operators/graphstats.py
+# degree_skew_report term-for-term: distinct non-loop edges, vertex
+# universe with zero-degree fill, rank-formula gini over the
+# distinct-degree table in HUGEINT (exact), type-1 integer quantiles.
+_DEGREE_SKEW_SQL = """
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM ({web_edges}) we WHERE src <> dst),
+    verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+    degp AS MATERIALIZED (
+        SELECT dst AS id, count(*) AS d FROM e GROUP BY dst),
+    degt AS (SELECT verts.id, coalesce(degp.d, 0) AS d
+             FROM verts LEFT JOIN degp ON verts.id = degp.id),
+    dist AS (SELECT d, count(*) AS c FROM degt GROUP BY d),
+    cum AS MATERIALIZED (
+        SELECT d, c, sum(c) OVER (ORDER BY d) AS cum,
+               d::HUGEINT * (c::HUGEINT *
+                             (sum(c) OVER (ORDER BY d) - c)::HUGEINT
+                             + (c::HUGEINT * (c + 1)::HUGEINT) // 2)
+                   AS rank_term
+        FROM dist),
+    s AS (SELECT sum(c)::BIGINT AS n,
+                 sum(d::HUGEINT * c::HUGEINT) AS sd,
+                 sum(rank_term) AS si,
+                 max(d) AS max_deg
+          FROM cum),
+    topk AS (SELECT coalesce(sum(d), 0)::BIGINT AS t FROM (
+                 SELECT d FROM degp ORDER BY d DESC, id ASC LIMIT 10) tt)
+    SELECT s.n AS n_vertices, s.sd::BIGINT AS n_edges, s.max_deg,
+           (SELECT min(d) FROM cum WHERE cum >= (s.n * 50 + 99) // 100) AS p50,
+           (SELECT min(d) FROM cum WHERE cum >= (s.n * 90 + 99) // 100) AS p90,
+           (SELECT min(d) FROM cum WHERE cum >= (s.n * 99 + 99) // 100) AS p99,
+           round(2.0 * s.si::DOUBLE / (s.n::DOUBLE * s.sd::DOUBLE)
+                 - (s.n + 1.0) / s.n, 6) AS gini,
+           round(topk.t::DOUBLE / s.sd::DOUBLE, 6) AS topk_share
+    FROM s, topk
+"""
+
+
 # Curation chain in SQL: min-id-per-md5 keep set, then the same quality
 # / token expressions as the doc_quality and doc_stats oracles, then
 # the allow-list and bands, aggregated per lang.
@@ -3323,6 +3426,8 @@ _DOC_LENGTH_QUANTILES_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    from dxa_pagerank_spark.functions.sampling import temperature_sample_sql
+
     return {
         "out_degrees": f"""
             WITH edges AS ({_EDGES_SQL})
@@ -3832,6 +3937,11 @@ def oracle_sql() -> dict[str, str]:
             web_edges=_SITE_EDGES_SQL.format(web_edges=_WEB_EDGES_SQL)
         ),
         "lpa_modularity": _lpa_modularity_sql(10),
+        "temperature_mix": temperature_sample_sql(
+            "SELECT doc_id, lang FROM documents", "doc_id", "lang"
+        ),
+        "vocab_overlap": _VOCAB_OVERLAP_SQL,
+        "degree_skew": _DEGREE_SKEW_SQL.format(web_edges=_WEB_EDGES_SQL),
         "corpus_curation": _CURATION_SQL,
         "stratified_sample": _strat_sample_sql(),
         "web_boilerplate_lines": _WEB_BOILERPLATE_LINES_SQL,

@@ -153,3 +153,88 @@ def sample_sql_predicate(key_sql: str, rate: float, salt: int = 0) -> str:
         f"((({key_sql} + {salt}) % {_FOLD} + {_FOLD}) % {_FOLD} * {KNUTH}) % {MOD}"
         f" < {int(rate * MOD)}"
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    key: str | Column,
+    group: str | Column,
+    alpha: float = 0.5,
+    salt: int = 0,
+) -> DataFrame:
+    """Multinomial temperature re-balancing across groups (languages /
+    sources): after sampling, expected group sizes are proportional to
+    n_g^alpha — the standard multilingual-pretraining mixture rule
+    (Lample & Conneau 2019 XLM eq. 2; mBERT exponent 0.7, mT5 0.3).
+
+    Realized as deterministic subsampling with per-group keep rate
+
+        r_g = (n_min / n_g) ** (1 - alpha)
+
+    so the smallest group keeps 100% and larger groups are downsampled
+    toward the flattened target (alpha=1 keeps everything, alpha=0
+    equalizes all groups). Decisions use the same engine-portable
+    multiplicative hash as ``hash_sample`` — reproducible across
+    partitionings, clusters, and engines.
+
+    ``alpha=0.5`` (the default) makes r_g = sqrt(n_min / n_g): IEEE-754
+    sqrt is correctly rounded, so the threshold is bit-identical in any
+    engine and the SQL oracle matches exactly. Other alphas route
+    through pow(), whose last-ulp behavior is libm-specific — fine in
+    production, but only 0.5 is oracle-exact.
+
+    Physical shape: ONE tiny aggregate (group counts, map-side
+    combined) collected to the driver, then a pure CASE-expression
+    filter — the corpus itself is never shuffled.
+    """
+    import math
+
+    key = F.col(key) if isinstance(key, str) else key
+    group = F.col(group) if isinstance(group, str) else group
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha {alpha} outside [0, 1]")
+    counts = {
+        r["g"]: r["n"]
+        for r in df.groupBy(group.alias("g")).agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    if not counts:
+        return df
+    n_min = min(counts.values())
+    threshold = F.lit(0)
+    for g, n in sorted(counts.items()):
+        if alpha == 0.5:
+            r = math.sqrt(n_min / n)
+        else:
+            r = (n_min / n) ** (1.0 - alpha)
+        threshold = F.when(group == F.lit(g), F.lit(int(r * MOD))).otherwise(
+            threshold
+        )
+    return df.filter(hash_bucket(key, salt) < threshold)
+
+
+def temperature_sample_sql(
+    table_sql: str,
+    key_sql: str,
+    group_sql: str,
+    alpha: float = 0.5,
+    salt: int = 0,
+) -> str:
+    """DuckDB mirror of temperature_sample (alpha=0.5 form): group
+    counts and sqrt thresholds computed entirely in SQL — exact because
+    IEEE sqrt is correctly rounded and the int truncation (toward zero,
+    positive operand) equals floor in both engines."""
+    if alpha != 0.5:
+        raise ValueError("only the alpha=0.5 form is oracle-exact")
+    return f"""
+    WITH src_t AS MATERIALIZED ({table_sql}),
+    gc AS (SELECT {group_sql} AS g, count(*) AS n FROM src_t GROUP BY 1),
+    thr AS (SELECT g,
+                   CAST(floor(sqrt((SELECT min(n) FROM gc)::DOUBLE / n)
+                              * {float(MOD)}) AS BIGINT) AS t
+            FROM gc)
+    SELECT src_t.* FROM src_t JOIN thr ON {group_sql} = thr.g
+    WHERE ((({key_sql} + {salt}) % {_FOLD} + {_FOLD}) % {_FOLD}
+           * {KNUTH}) % {MOD} < thr.t
+    """

@@ -88,3 +88,58 @@ def tfidf_topk(
             "term_rank",
         )
     )
+
+
+def vocab_overlap(
+    documents: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between document groups ->
+    (group_a, group_b, vocab_a, vocab_b, n_shared, jaccard), one row
+    per unordered group pair with at least one shared term
+    (group_a < group_b lexically).
+
+    Corpus-composition analytic: how much surface vocabulary two
+    languages / sources share (script detection, contamination triage,
+    mixture design). Vocabulary = distinct tokens under the corpus
+    tokenization rule (single-space split, empty dropped).
+
+    100-TB shape: distinct(group, term) is one shuffle keyed by term;
+    the pair join explodes each term into at most G^2 rows with G = the
+    number of groups (languages — bounded, tiny), so no term can
+    explode the join regardless of its document frequency. Sizes and
+    the final Jaccard operate on the vocabulary table, orders of
+    magnitude smaller than the corpus.
+    """
+    t = documents.select(
+        F.col(group_col).alias("g"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    v = t.distinct().localCheckpoint(eager=True)
+    sizes = v.groupBy("g").agg(F.count(F.lit(1)).alias("vocab"))
+    a = v.select(F.col("g").alias("group_a"), "term")
+    b = v.select(F.col("g").alias("group_b"), "term")
+    shared = (
+        a.join(b, "term")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("g").alias("group_a"), F.col("vocab").alias("vocab_a"))
+    sb = sizes.select(F.col("g").alias("group_b"), F.col("vocab").alias("vocab_b"))
+    return (
+        shared.join(F.broadcast(sa), "group_a")
+        .join(F.broadcast(sb), "group_b")
+        .select(
+            "group_a",
+            "group_b",
+            "vocab_a",
+            "vocab_b",
+            "n_shared",
+            (
+                F.col("n_shared")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )

@@ -162,3 +162,112 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_communities"),
         F.sum("q").alias("modularity"),
     )
+
+
+
+
+def degree_skew_report(
+    spark, edges: DataFrame, direction: str = "in", top_k: int = 10
+) -> DataFrame:
+    """1-row skew profile of the degree distribution — the diagnostic a
+    100-TB job reads BEFORE picking salting / AQE-skew settings:
+
+      (n_vertices, n_edges, max_deg, p50, p90, p99, gini, topk_share)
+
+    over the DISTINCT non-loop directed edge set. ``direction``: "in"
+    (dst degrees — hub pages) or "out" (src degrees — link farms).
+    Quantiles are type-1 (smallest degree d with cumulative vertex
+    count >= ceil(q * n)); zero-degree vertices of the universe are
+    included. gini is the rank formula over ascending degrees,
+    2*sum(i * d_i) / (n * sum(d)) - (n + 1)/n; topk_share = fraction of
+    edges incident to the top_k highest-degree vertices.
+
+    Physical shape: one degree groupBy (the only corpus-scale shuffle),
+    then everything runs on the DISTINCT-DEGREE-VALUE table (thousands
+    of rows at any corpus size) — the rank sum uses a single-partition
+    window over that tiny table, with decimal(38,0) accumulators so the
+    integer math stays exact past int64 at web scale (sum(i*d_i)
+    reaches ~1e32 at 1e12 vertices). Everything is integer until the
+    two final float divisions, so the SQL oracle matches exactly.
+    """
+    from pyspark.sql import Window
+
+    from .pagerank import vertex_universe
+
+    if direction not in ("in", "out"):
+        raise ValueError(f"direction {direction!r} not in ('in', 'out')")
+    key = "dst" if direction == "in" else "src"
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    verts = vertex_universe(spark, e)
+    deg = e.groupBy(F.col(key).alias("id")).agg(F.count(F.lit(1)).alias("d"))
+    full = verts.join(deg, "id", "left").select(
+        F.coalesce(F.col("d"), F.lit(0)).alias("d")
+    )
+    dist = full.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dec = "decimal(38,0)"
+    c_dec, d_dec = F.col("c").cast(dec), F.col("d").cast(dec)
+    prior = (F.sum("c").over(w) - F.col("c")).cast(dec)
+    # sum of ranks within this degree run: c*prior + c*(c+1)/2 — the
+    # product is computed in decimal (c*(c+1) overflows int64 at 1e12
+    # vertices); the halving is exact (c*(c+1) is even).
+    run_ranks = c_dec * prior + (c_dec * (F.col("c") + 1).cast(dec) / 2).cast(
+        dec
+    )
+    cum = dist.select(
+        "d",
+        "c",
+        F.sum("c").over(w).alias("cum"),
+        (d_dec * run_ranks).alias("rank_term"),
+    ).localCheckpoint(eager=True)
+    srow = cum.agg(
+        F.sum("c").alias("n"),
+        F.sum(d_dec * c_dec).alias("sd"),
+        F.sum("rank_term").alias("si"),
+        F.max("d").alias("max_deg"),
+    ).collect()[0]
+    n, sd, si = int(srow["n"]), int(srow["sd"]), int(srow["si"])
+
+    def quantile(q_pct: int) -> int:
+        thresh = -(-n * q_pct // 100)  # ceil(n * q / 100), integer-exact
+        return int(
+            cum.filter(F.col("cum") >= thresh).agg(F.min("d")).collect()[0][0]
+        )
+
+    topk = int(
+        deg.orderBy(F.desc("d"), F.asc("id"))
+        .limit(top_k)
+        .agg(F.coalesce(F.sum("d"), F.lit(0)))
+        .collect()[0][0]
+    )
+    gini = 2.0 * float(si) / (float(n) * float(sd)) - (n + 1.0) / n
+    out = spark.createDataFrame(
+        [
+            (
+                n,
+                sd,
+                int(srow["max_deg"]),
+                quantile(50),
+                quantile(90),
+                quantile(99),
+                gini,
+                float(topk) / sd,
+            )
+        ],
+        "n_vertices long, n_edges long, max_deg long, p50 long, "
+        "p90 long, p99 long, gini double, topk_share double",
+    )
+    # HALF_UP rounding via F.round (NOT Python round, which is
+    # banker's) so the SQL oracle's round() matches tie cases too.
+    return out.select(
+        "n_vertices", "n_edges", "max_deg", "p50", "p90", "p99",
+        F.round("gini", 6).alias("gini"),
+        F.round("topk_share", 6).alias("topk_share"),
+    )

@@ -1053,6 +1053,48 @@ def q_lpa_modularity(spark, sf_dir):
     )
 
 
+def q_web_mis(spark, sf_dir):
+    """Deterministic Luby maximal independent set of the page link
+    graph (operators/mis.py): priority = injective Knuth-hash rank, so
+    the oracle unrolls the identical selection rounds in SQL. MIS is
+    the building block for distributed scheduling/coloring; converges
+    in 3 rounds on this graph (unroll has slack — post-fixpoint rounds
+    are identity)."""
+    from dxa_pagerank_spark.operators.mis import luby_mis
+
+    return luby_mis(spark, _web_edges(spark, sf_dir), max_rounds=8)
+
+
+def q_site_coloring(spark, sf_dir):
+    """Jones-Plassmann greedy coloring (round-index variant) of the
+    site graph — each round's priority-local-maxima form an independent
+    set colored with the round number; proper coloring by construction
+    (operators/mis.py). Oracle unrolls the same rounds."""
+    from dxa_pagerank_spark.operators.mis import jp_coloring
+    from dxa_pagerank_spark.operators.sitegraph import site_rollup
+
+    sites = site_rollup(_web_edges(spark, sf_dir), block_size=_SITE_BLOCK)
+    return jp_coloring(spark, sites, max_rounds=16)
+
+
+def q_trending_terms(spark, sf_dir):
+    """Trending terms per 1-minute crawl window: the batch form of the
+    streaming/trends.py windowed term counts (the identical column
+    program runs under readStream with a watermark — parity pinned in
+    tests/test_streaming_trends.py), plus the read-time top-5 rank.
+    The oracle regenerates the closed-form page text and replays
+    window/count/rank in SQL."""
+    from dxa_pagerank_spark.streaming.trends import (
+        top_terms_per_window,
+        windowed_term_counts,
+    )
+
+    counts = windowed_term_counts(
+        _web_pages(spark, sf_dir), window="1 minute"
+    )
+    return top_terms_per_window(counts, k=5)
+
+
 def q_temperature_mix(spark, sf_dir):
     """Multinomial temperature re-balancing of the corpus across
     languages (XLM/mT5 mixture rule, alpha=0.5: expected group sizes
@@ -1640,6 +1682,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "vocab_overlap": q_vocab_overlap,
         "degree_skew": q_degree_skew,
+        "web_mis": q_web_mis,
+        "site_coloring": q_site_coloring,
+        "trending_terms": q_trending_terms,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hits_5rounds": q_hits_5rounds,
@@ -2928,6 +2973,111 @@ def _lpa_modularity_sql(k: int) -> str:
     """
 
 
+# Injective deterministic vertex priority shared by the MIS / coloring
+# oracles — exact mirror of operators/mis.py _priority (Knuth hash of
+# functions/sampling.hash_bucket, id appended): all BIGINT-safe for
+# ids < 2^31.
+_MIS_PRI_SQL = "((id % 2147483648) * 2654435761) % 4294967296 * 2147483648 + id"
+
+
+def _mis_rounds_sql(k: int, edges_sql: str) -> str:
+    """Unrolled k-round deterministic Luby MIS (operators/mis.py
+    luby_mis): round r selects undecided vertices whose priority beats
+    every undecided neighbor's, then removes them and their neighbors.
+    Post-fixpoint rounds are identity, so unrolling past convergence is
+    safe."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        "verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        "sym AS MATERIALIZED (SELECT DISTINCT u, v FROM ("
+        "SELECT src AS u, dst AS v FROM e "
+        "UNION ALL SELECT dst AS u, src AS v FROM e) t WHERE u <> v)",
+        f"u0 AS MATERIALIZED (SELECT id, {_MIS_PRI_SQL} AS pri FROM verts)",
+    ]
+    for r in range(1, k + 1):
+        parts += [
+            f"s{r} AS MATERIALIZED (SELECT u.id FROM u{r - 1} u LEFT JOIN ("
+            f"SELECT s.v AS id, max(w.pri) AS npri"
+            f" FROM sym s JOIN u{r - 1} w ON s.u = w.id GROUP BY s.v) nm"
+            f" ON u.id = nm.id"
+            f" WHERE nm.npri IS NULL OR u.pri > nm.npri)",
+            f"u{r} AS MATERIALIZED (SELECT * FROM u{r - 1}"
+            f" WHERE id NOT IN (SELECT id FROM s{r})"
+            f" AND id NOT IN (SELECT s.v FROM sym s"
+            f" JOIN s{r} ON s.u = s{r}.id))",
+        ]
+    picked = " UNION ALL ".join(
+        f"SELECT id, {r} AS mis_round FROM s{r}" for r in range(1, k + 1)
+    )
+    return (
+        ",\n".join(parts)
+        + f""",
+    picked AS ({picked})
+    SELECT verts.id, picked.id IS NOT NULL AS in_mis,
+           coalesce(picked.mis_round, 0) AS mis_round
+    FROM verts LEFT JOIN picked ON verts.id = picked.id"""
+    )
+
+
+def _coloring_rounds_sql(k: int, edges_sql: str) -> str:
+    """Unrolled k-round Jones-Plassmann coloring (operators/mis.py
+    jp_coloring): same selection rule as MIS, but only selected
+    vertices leave; color = round index."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        "verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        "sym AS MATERIALIZED (SELECT DISTINCT u, v FROM ("
+        "SELECT src AS u, dst AS v FROM e "
+        "UNION ALL SELECT dst AS u, src AS v FROM e) t WHERE u <> v)",
+        f"u0 AS MATERIALIZED (SELECT id, {_MIS_PRI_SQL} AS pri FROM verts)",
+    ]
+    for r in range(1, k + 1):
+        parts += [
+            f"s{r} AS MATERIALIZED (SELECT u.id FROM u{r - 1} u LEFT JOIN ("
+            f"SELECT s.v AS id, max(w.pri) AS npri"
+            f" FROM sym s JOIN u{r - 1} w ON s.u = w.id GROUP BY s.v) nm"
+            f" ON u.id = nm.id"
+            f" WHERE nm.npri IS NULL OR u.pri > nm.npri)",
+            f"u{r} AS MATERIALIZED (SELECT * FROM u{r - 1}"
+            f" WHERE id NOT IN (SELECT id FROM s{r}))",
+        ]
+    colored = " UNION ALL ".join(
+        f"SELECT id, {r} AS color FROM s{r}" for r in range(1, k + 1)
+    )
+    return ",\n".join(parts) + f"\nSELECT * FROM ({colored}) fin"
+
+
+# Trending terms: closed-form page text (same literal construction as
+# _WEB_PAGE_TEXT_SQL), warc_ts = 1704067200 + doc_id seconds
+# (sources/pages_synth.py), 1-minute tumbling windows, count + top-5
+# rank with (n desc, term asc) ties — integer counts, so the rank row
+# set is engine-independent.
+_TRENDING_TERMS_SQL = """
+    WITH p AS MATERIALIZED (
+        SELECT doc_id, 1704067200 + doc_id AS ts_sec,
+               'Doc ' || doc_id || chr(10)
+                 || 'Synthetic page ' || doc_id || ' of '
+                 || (SELECT count(*) FROM documents) || '.'
+                 || CASE WHEN doc_id % 10 <> 0 THEN
+                        chr(10) || 'next' || chr(10) || 'rel'
+                        || CASE WHEN doc_id % 3 = 0
+                                THEN chr(10) || 'again' ELSE '' END
+                    ELSE '' END
+                 || chr(10) || 'mail' AS text
+        FROM documents),
+    tok AS (
+        SELECT ts_sec // 60 * 60 AS window_start,
+               unnest(string_split(text, ' ')) AS term
+        FROM p),
+    cnt AS (SELECT window_start, term, count(*) AS n FROM tok
+            WHERE term <> '' GROUP BY 1, 2),
+    rk AS (SELECT *, row_number() OVER (
+               PARTITION BY window_start ORDER BY n DESC, term ASC)
+               AS term_rank
+           FROM cnt)
+    SELECT window_start, term, n, term_rank FROM rk WHERE term_rank <= 5
+"""
+
 # Vocabulary Jaccard between language sub-corpora — same single-space
 # tokenization as _TOKENS_SQL, distinct per (lang, term), pair join
 # bounded by (#langs)^2 rows per term.
@@ -3942,6 +4092,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "vocab_overlap": _VOCAB_OVERLAP_SQL,
         "degree_skew": _DEGREE_SKEW_SQL.format(web_edges=_WEB_EDGES_SQL),
+        "web_mis": _mis_rounds_sql(8, _WEB_EDGES_SQL),
+        "trending_terms": _TRENDING_TERMS_SQL,
+        "site_coloring": _coloring_rounds_sql(
+            16, _SITE_EDGES_SQL.format(web_edges=_WEB_EDGES_SQL)
+        ),
         "corpus_curation": _CURATION_SQL,
         "stratified_sample": _strat_sample_sql(),
         "web_boilerplate_lines": _WEB_BOILERPLATE_LINES_SQL,

@@ -1095,6 +1095,20 @@ def q_trending_terms(spark, sf_dir):
     return top_terms_per_window(counts, k=5)
 
 
+def q_table_profile(spark, sf_dir):
+    """Per-column shape report over the documents table (row/null/
+    distinct counts, native-order min/max, modal value with smallest-
+    value tie-break) — functions/profiler.py; the pipeline pre-flight
+    diagnostic. One value-counts groupBy per column; the oracle runs
+    the identical semantics per column in SQL."""
+    from dxa_pagerank_spark.functions.profiler import table_profile
+
+    return table_profile(
+        _t(spark, sf_dir, "documents"),
+        columns=["doc_id", "lang", "source", "n_chars"],
+    )
+
+
 def q_temperature_mix(spark, sf_dir):
     """Multinomial temperature re-balancing of the corpus across
     languages (XLM/mT5 mixture rule, alpha=0.5: expected group sizes
@@ -1685,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_mis": q_web_mis,
         "site_coloring": q_site_coloring,
         "trending_terms": q_trending_terms,
+        "table_profile": q_table_profile,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hits_5rounds": q_hits_5rounds,
@@ -2941,6 +2956,14 @@ _TRIAD_CENSUS_SQL = """
 """
 
 
+def _table_profile_oracle() -> str:
+    from dxa_pagerank_spark.functions.profiler import table_profile_sql
+
+    return table_profile_sql(
+        "documents", ["doc_id", "lang", "source", "n_chars"]
+    )
+
+
 def _lpa_modularity_sql(k: int) -> str:
     """Newman modularity of the k-round unrolled LPA labels — the
     labels CTE is the exact _lpa_rounds_sql(k) query, the Q formula
@@ -4094,6 +4117,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_skew": _DEGREE_SKEW_SQL.format(web_edges=_WEB_EDGES_SQL),
         "web_mis": _mis_rounds_sql(8, _WEB_EDGES_SQL),
         "trending_terms": _TRENDING_TERMS_SQL,
+        "table_profile": _table_profile_oracle(),
         "site_coloring": _coloring_rounds_sql(
             16, _SITE_EDGES_SQL.format(web_edges=_WEB_EDGES_SQL)
         ),

@@ -1109,6 +1109,22 @@ def q_table_profile(spark, sf_dir):
     )
 
 
+def q_feature_smoothing(spark, sf_dir):
+    """One SGC/LightGCN-style mean-aggregation round of the document
+    embeddings over the page link graph (operators/featprop.py): the
+    neighbor sum is an ascending-id left fold, so the SQL oracle
+    replays the identical float arithmetic bit-for-bit."""
+    from dxa_pagerank_spark.operators.featprop import smooth_features
+
+    out = smooth_features(
+        _web_edges(spark, sf_dir),
+        _t(spark, sf_dir, "embeddings"),
+    )
+    return out.select(
+        "id", "pos", F.round("value", 6).alias("value")
+    )
+
+
 def q_temperature_mix(spark, sf_dir):
     """Multinomial temperature re-balancing of the corpus across
     languages (XLM/mT5 mixture rule, alpha=0.5: expected group sizes
@@ -1700,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "site_coloring": q_site_coloring,
         "trending_terms": q_trending_terms,
         "table_profile": q_table_profile,
+        "feature_smoothing": q_feature_smoothing,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hits_5rounds": q_hits_5rounds,
@@ -3070,6 +3087,31 @@ def _coloring_rounds_sql(k: int, edges_sql: str) -> str:
     return ",\n".join(parts) + f"\nSELECT * FROM ({colored}) fin"
 
 
+# Feature propagation: identical ascending-u left fold as the engine
+# (list(val ORDER BY u) + list_reduce with a prepended 0.0 accumulator)
+# so every smoothed value is bit-identical; the division by (1 + nd)
+# is exact double arithmetic in both engines.
+_FEATPROP_SQL = """
+    WITH e AS MATERIALIZED ({web_edges}),
+    sym AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM e
+        UNION ALL SELECT dst AS u, src AS v FROM e) t WHERE u <> v),
+    fe AS MATERIALIZED (
+        SELECT vec_id AS id, t.i - 1 AS pos, embedding[t.i]::DOUBLE AS val
+        FROM embeddings, unnest(generate_series(1, 64)) t(i)),
+    nb AS MATERIALIZED (
+        SELECT s.v AS id, f.pos,
+               list_reduce(list_prepend(0.0, list(f.val ORDER BY s.u)),
+                           (a, b) -> a + b) AS nsum,
+               count(*) AS nd
+        FROM sym s JOIN fe f ON s.u = f.id
+        GROUP BY s.v, f.pos)
+    SELECT fe.id, fe.pos,
+           round((fe.val + coalesce(nb.nsum, 0.0))
+                 / (1 + coalesce(nb.nd, 0)), 6) AS value
+    FROM fe LEFT JOIN nb ON fe.id = nb.id AND fe.pos = nb.pos
+"""
+
 # Trending terms: closed-form page text (same literal construction as
 # _WEB_PAGE_TEXT_SQL), warc_ts = 1704067200 + doc_id seconds
 # (sources/pages_synth.py), 1-minute tumbling windows, count + top-5
@@ -4118,6 +4160,7 @@ def oracle_sql() -> dict[str, str]:
         "web_mis": _mis_rounds_sql(8, _WEB_EDGES_SQL),
         "trending_terms": _TRENDING_TERMS_SQL,
         "table_profile": _table_profile_oracle(),
+        "feature_smoothing": _FEATPROP_SQL.format(web_edges=_WEB_EDGES_SQL),
         "site_coloring": _coloring_rounds_sql(
             16, _SITE_EDGES_SQL.format(web_edges=_WEB_EDGES_SQL)
         ),

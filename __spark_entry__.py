@@ -1125,6 +1125,50 @@ def q_feature_smoothing(spark, sf_dir):
     )
 
 
+def q_crawl_delta(spark, sf_dir):
+    """Crawl-to-crawl churn per url (functions/snapshots.py
+    crawl_delta): two arithmetic sub-crawls of the documents corpus
+    (old = doc_id %% 7 != 0; new = doc_id %% 5 != 0 with every 11th
+    text amended) compared by content hash in one full-outer url join.
+    The oracle regenerates both crawls and the same md5 CASE in SQL."""
+    from dxa_pagerank_spark.functions.snapshots import crawl_delta
+    from dxa_pagerank_spark.sources.pages_synth import page_url
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 7 != 0).select(
+        page_url(F.col("doc_id")).alias("url"), "text"
+    )
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        page_url(F.col("doc_id")).alias("url"),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return crawl_delta(old, new)
+
+
+def q_topic_pagerank(spark, sf_dir):
+    """Topic-sensitive PageRank (Haveliwala 2002): three arithmetic
+    topic seed sets (doc_id %% 50 residues 0/1/2) ranked in ONE batched
+    power-iteration loop — every round is a single adjacency join
+    shared by all topics (operators/topicrank.py). The oracle unrolls
+    the identical (topic, id)-keyed iteration in SQL."""
+    from dxa_pagerank_spark.operators.topicrank import (
+        topic_sensitive_pagerank,
+    )
+
+    n = _t(spark, sf_dir, "documents").count()
+    topics = {
+        f"t{r}": [i for i in range(n) if i % 50 == r] for r in (0, 1, 2)
+    }
+    out = topic_sensitive_pagerank(
+        spark, _web_edges(spark, sf_dir), topics, rounds=4
+    )
+    return out.select("topic", "id", F.round("rank", 6).alias("rank"))
+
+
 def q_temperature_mix(spark, sf_dir):
     """Multinomial temperature re-balancing of the corpus across
     languages (XLM/mT5 mixture rule, alpha=0.5: expected group sizes
@@ -1717,6 +1761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_terms": q_trending_terms,
         "table_profile": q_table_profile,
         "feature_smoothing": q_feature_smoothing,
+        "crawl_delta": q_crawl_delta,
+        "topic_pagerank": q_topic_pagerank,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hits_5rounds": q_hits_5rounds,
@@ -2038,6 +2084,55 @@ def _ppr_rounds_sql(k: int) -> str:
             f" FROM sv LEFT JOIN c{i} ON sv.id = c{i}.id)",
         ]
     return ",\n".join(parts) + "\n"
+
+
+def _topicrank_rounds_sql(k: int) -> str:
+    """Unrolled k-round topic-sensitive PageRank
+    (operators/topicrank.py semantics; topics = doc_id % 50 residues
+    0/1/2, s = 1/|S_t|, per-topic dangling mass)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_WEB_EDGES_SQL})",
+        "verts AS MATERIALIZED (SELECT src AS id FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "deg AS MATERIALIZED (SELECT src AS id, count(*)::DOUBLE AS out_deg"
+        " FROM edges GROUP BY src)",
+        "ew AS MATERIALIZED (SELECT e.src, e.dst, 1.0/d.out_deg AS w"
+        " FROM edges e JOIN deg d ON e.src = d.id)",
+        "seeds AS MATERIALIZED ("
+        " SELECT 't0' AS topic, doc_id AS id FROM documents WHERE doc_id % 50 = 0"
+        " UNION ALL SELECT 't1', doc_id FROM documents WHERE doc_id % 50 = 1"
+        " UNION ALL SELECT 't2', doc_id FROM documents WHERE doc_id % 50 = 2)",
+        "scount AS MATERIALIZED (SELECT topic, count(*) AS c FROM seeds"
+        " GROUP BY topic)",
+        "sv AS MATERIALIZED (SELECT sc.topic, v.id,"
+        " CASE WHEN s.id IS NOT NULL THEN 1.0/sc.c ELSE 0.0 END AS s,"
+        " (d.id IS NULL) AS dang"
+        " FROM scount sc CROSS JOIN verts v"
+        " LEFT JOIN seeds s ON s.topic = sc.topic AND s.id = v.id"
+        " LEFT JOIN deg d ON v.id = d.id)",
+        "p0 AS MATERIALIZED (SELECT topic, id, s AS rank FROM sv)",
+    ]
+    for i in range(1, k + 1):
+        parts += [
+            f"m{i} AS MATERIALIZED (SELECT sv.topic,"
+            f" coalesce(sum(p.rank), 0) AS m FROM sv"
+            f" LEFT JOIN p{i - 1} p ON p.topic = sv.topic AND p.id = sv.id"
+            f" WHERE sv.dang GROUP BY sv.topic)",
+            f"c{i} AS MATERIALIZED (SELECT p.topic, ew.dst AS id,"
+            f" sum(p.rank * ew.w) AS contrib"
+            f" FROM ew JOIN p{i - 1} p ON ew.src = p.id"
+            f" GROUP BY p.topic, ew.dst)",
+            f"p{i} AS MATERIALIZED (SELECT sv.topic, sv.id,"
+            f" (1.0-0.85)*sv.s + 0.85*(coalesce(c.contrib, 0)"
+            f" + coalesce(m.m, 0)*sv.s) AS rank"
+            f" FROM sv LEFT JOIN c{i} c"
+            f" ON c.topic = sv.topic AND c.id = sv.id"
+            f" LEFT JOIN m{i} m ON m.topic = sv.topic)",
+        ]
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT topic, id, round(rank, 6) AS rank FROM p{k}"
+    )
 
 
 def _lpa_rounds_sql(k: int) -> str:
@@ -3086,6 +3181,26 @@ def _coloring_rounds_sql(k: int, edges_sql: str) -> str:
     )
     return ",\n".join(parts) + f"\nSELECT * FROM ({colored}) fin"
 
+
+# Crawl delta: the same two arithmetic sub-crawls and md5-compare CASE
+# as q_crawl_delta.
+_CRAWL_DELTA_SQL = """
+    WITH o AS MATERIALIZED (
+        SELECT 'https://example.org/doc/' || doc_id AS url,
+               md5(text) AS oh
+        FROM documents WHERE doc_id % 7 <> 0),
+    n AS MATERIALIZED (
+        SELECT 'https://example.org/doc/' || doc_id AS url,
+               md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2'
+                        ELSE text END) AS nh
+        FROM documents WHERE doc_id % 5 <> 0)
+    SELECT coalesce(o.url, n.url) AS url,
+           CASE WHEN o.url IS NULL THEN 'added'
+                WHEN n.url IS NULL THEN 'removed'
+                WHEN oh <> nh THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM o FULL OUTER JOIN n ON o.url = n.url
+"""
 
 # Feature propagation: identical ascending-u left fold as the engine
 # (list(val ORDER BY u) + list_reduce with a prepended 0.0 accumulator)
@@ -4161,6 +4276,8 @@ def oracle_sql() -> dict[str, str]:
         "trending_terms": _TRENDING_TERMS_SQL,
         "table_profile": _table_profile_oracle(),
         "feature_smoothing": _FEATPROP_SQL.format(web_edges=_WEB_EDGES_SQL),
+        "crawl_delta": _CRAWL_DELTA_SQL,
+        "topic_pagerank": _topicrank_rounds_sql(4),
         "site_coloring": _coloring_rounds_sql(
             16, _SITE_EDGES_SQL.format(web_edges=_WEB_EDGES_SQL)
         ),

@@ -39,3 +39,79 @@ def latest_snapshot(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def crawl_delta(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Crawl-to-crawl churn report -> one row per url with a status:
+
+      * ``added``     — url only in the new crawl
+      * ``removed``   — url only in the old crawl
+      * ``changed``   — in both, text content differs (md5 compare)
+      * ``unchanged`` — in both, byte-identical text
+
+    The standard freshness/decay analytic between two snapshots (what
+    recrawl schedulers and index-delta pipelines consume). Compare by
+    content hash, not the text itself, so the join carries 32-byte
+    digests instead of page bodies.
+
+    Plan shape: each side reduces to (url, md5) — column pruning keeps
+    page bodies out of the exchange — then ONE full-outer equi-join on
+    url and a pure CASE. At 100 TB both sides shuffle once by url;
+    bucketed-by-url storage (plans/bucketing.py) removes even that.
+    """
+    o = old.select(
+        F.col(url_col).alias("url"), F.md5(F.col(text_col)).alias("oh")
+    )
+    n = new.select(
+        F.col(url_col).alias("url"), F.md5(F.col(text_col)).alias("nh")
+    )
+    j = o.join(n, "url", "full_outer")
+    return j.select(
+        "url",
+        F.when(F.col("oh").isNull(), F.lit("added"))
+        .when(F.col("nh").isNull(), F.lit("removed"))
+        .when(F.col("oh") != F.col("nh"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+def crawl_delta_report(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """1-row rollup of crawl_delta: (n_added, n_removed, n_changed,
+    n_unchanged, churn) with churn = (added+removed+changed) / new-crawl
+    size — the headline freshness number."""
+    d = crawl_delta(old, new, url_col, text_col)
+    agg = d.agg(
+        F.sum(F.when(F.col("status") == "added", 1).otherwise(0)).alias(
+            "n_added"
+        ),
+        F.sum(F.when(F.col("status") == "removed", 1).otherwise(0)).alias(
+            "n_removed"
+        ),
+        F.sum(F.when(F.col("status") == "changed", 1).otherwise(0)).alias(
+            "n_changed"
+        ),
+        F.sum(
+            F.when(F.col("status") == "unchanged", 1).otherwise(0)
+        ).alias("n_unchanged"),
+    )
+    return agg.select(
+        "n_added",
+        "n_removed",
+        "n_changed",
+        "n_unchanged",
+        (
+            (F.col("n_added") + F.col("n_removed") + F.col("n_changed"))
+            / (F.col("n_added") + F.col("n_changed") + F.col("n_unchanged"))
+        ).alias("churn"),
+    )

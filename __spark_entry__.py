@@ -1169,6 +1169,41 @@ def q_topic_pagerank(spark, sf_dir):
     return out.select("topic", "id", F.round("rank", 6).alias("rank"))
 
 
+def q_site_coreness(spark, sf_dir):
+    """Full k-shell decomposition (coreness per vertex) of the site
+    graph — operators/kcore.py core_numbers: ascending-k peeling where
+    the (k+1)-core peels FROM the k-core survivors. The oracle unrolls
+    every peel round per k with post-fixpoint identity slack."""
+    from dxa_pagerank_spark.operators.kcore import core_numbers
+    from dxa_pagerank_spark.operators.sitegraph import site_rollup
+
+    sites = site_rollup(_web_edges(spark, sf_dir), block_size=_SITE_BLOCK)
+    return core_numbers(spark, sites, max_k=16)
+
+
+def q_anchor_expanded_docs(spark, sf_dir):
+    """Anchor-text document expansion (the classic web-indexing trick:
+    a page is described by the text of links POINTING AT it): page text
+    extended with the sorted distinct incoming anchor texts. Engine
+    side parses html for both the page text and the anchors; the
+    oracle regenerates both from the closed forms."""
+    from dxa_pagerank_spark.sources.pages import page_anchors
+
+    pages = _web_pages(spark, sf_dir)
+    anchors = page_anchors(pages).groupBy(F.col("link").alias("url")).agg(
+        F.array_join(F.array_sort(F.collect_set("text")), " ").alias("atext")
+    )
+    return pages.join(anchors, "url", "left").select(
+        "url",
+        F.when(
+            F.col("atext").isNotNull(),
+            F.concat(F.col("text"), F.lit("\n"), F.col("atext")),
+        )
+        .otherwise(F.col("text"))
+        .alias("expanded_text"),
+    )
+
+
 def q_temperature_mix(spark, sf_dir):
     """Multinomial temperature re-balancing of the corpus across
     languages (XLM/mT5 mixture rule, alpha=0.5: expected group sizes
@@ -1763,6 +1798,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_smoothing": q_feature_smoothing,
         "crawl_delta": q_crawl_delta,
         "topic_pagerank": q_topic_pagerank,
+        "site_coreness": q_site_coreness,
+        "anchor_expanded_docs": q_anchor_expanded_docs,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hits_5rounds": q_hits_5rounds,
@@ -2084,6 +2121,47 @@ def _ppr_rounds_sql(k: int) -> str:
             f" FROM sv LEFT JOIN c{i} ON sv.id = c{i}.id)",
         ]
     return ",\n".join(parts) + "\n"
+
+
+def _core_numbers_sql(kmax: int, depth: int, edges_sql: str) -> str:
+    """Unrolled k-shell decomposition (operators/kcore.py
+    core_numbers): for each k = 1..kmax, ``depth`` peel rounds (deg < k
+    removal) starting from the previous core's survivors — peel rounds
+    past the fixpoint are identity, so generous depth is safe; vertices
+    dropped between consecutive cores get coreness k-1."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        "verts AS MATERIALIZED (SELECT src AS id FROM e"
+        " UNION SELECT dst FROM e)",
+        "sym AS MATERIALIZED (SELECT DISTINCT u, v FROM ("
+        "SELECT src AS u, dst AS v FROM e "
+        "UNION ALL SELECT dst AS u, src AS v FROM e) t WHERE u <> v)",
+        "a0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM sym)",
+    ]
+    for k in range(1, kmax + 1):
+        prev = f"a{k - 1}"
+        for t in range(1, depth + 1):
+            cur = f"c{k}_{t}"
+            parts.append(
+                f"{cur} AS MATERIALIZED (SELECT s.u AS id FROM sym s"
+                f" JOIN {prev} x ON s.u = x.id"
+                f" JOIN {prev} y ON s.v = y.id"
+                f" GROUP BY s.u HAVING count(*) >= {k})"
+            )
+            prev = cur
+        parts += [
+            f"a{k} AS MATERIALIZED (SELECT id FROM {prev})",
+            f"d{k} AS MATERIALIZED (SELECT id, {k - 1} AS coreness"
+            f" FROM a{k - 1} WHERE id NOT IN (SELECT id FROM a{k}))",
+        ]
+    shells = " UNION ALL ".join(f"SELECT * FROM d{k}" for k in range(1, kmax + 1))
+    return (
+        ",\n".join(parts)
+        + f""",
+    shells AS ({shells})
+    SELECT verts.id, coalesce(shells.coreness, 0) AS coreness
+    FROM verts LEFT JOIN shells ON verts.id = shells.id"""
+    )
 
 
 def _topicrank_rounds_sql(k: int) -> str:
@@ -3182,6 +3260,44 @@ def _coloring_rounds_sql(k: int, edges_sql: str) -> str:
     return ",\n".join(parts) + f"\nSELECT * FROM ({colored}) fin"
 
 
+# Anchor expansion: the closed-form page text plus the sorted distinct
+# incoming anchor texts (same multiset law as _ANCHOR_TEXT_SQL).
+_ANCHOR_EXPANDED_SQL = """
+    WITH pages AS MATERIALIZED (
+        SELECT doc_id,
+               'https://example.org/doc/' || doc_id AS url,
+               'Doc ' || doc_id || chr(10)
+                 || 'Synthetic page ' || doc_id || ' of '
+                 || (SELECT count(*) FROM documents) || '.'
+                 || CASE WHEN doc_id % 10 <> 0 THEN
+                        chr(10) || 'next' || chr(10) || 'rel'
+                        || CASE WHEN doc_id % 3 = 0
+                                THEN chr(10) || 'again' ELSE '' END
+                    ELSE '' END
+                 || chr(10) || 'mail' AS text
+        FROM documents),
+    pairs AS (
+        SELECT (doc_id + 1) % (SELECT count(*) FROM documents) AS dst,
+               'next' AS t
+        FROM documents WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT (3 * doc_id + 7) % (SELECT count(*) FROM documents), 'rel'
+        FROM documents WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT (doc_id + 1) % (SELECT count(*) FROM documents), 'again'
+        FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 3 = 0),
+    an AS (
+        SELECT dst,
+               array_to_string(list_sort(list_distinct(list(t))), ' ')
+                   AS atext
+        FROM pairs GROUP BY dst)
+    SELECT p.url,
+           CASE WHEN an.atext IS NOT NULL
+                THEN p.text || chr(10) || an.atext
+                ELSE p.text END AS expanded_text
+    FROM pages p LEFT JOIN an ON an.dst = p.doc_id
+"""
+
 # Crawl delta: the same two arithmetic sub-crawls and md5-compare CASE
 # as q_crawl_delta.
 _CRAWL_DELTA_SQL = """
@@ -4278,6 +4394,10 @@ def oracle_sql() -> dict[str, str]:
         "feature_smoothing": _FEATPROP_SQL.format(web_edges=_WEB_EDGES_SQL),
         "crawl_delta": _CRAWL_DELTA_SQL,
         "topic_pagerank": _topicrank_rounds_sql(4),
+        "anchor_expanded_docs": _ANCHOR_EXPANDED_SQL,
+        "site_coreness": _core_numbers_sql(
+            10, 6, _SITE_EDGES_SQL.format(web_edges=_WEB_EDGES_SQL)
+        ),
         "site_coloring": _coloring_rounds_sql(
             16, _SITE_EDGES_SQL.format(web_edges=_WEB_EDGES_SQL)
         ),

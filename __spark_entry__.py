@@ -1204,6 +1204,21 @@ def q_anchor_expanded_docs(spark, sf_dir):
     )
 
 
+def q_site_mst(spark, sf_dir):
+    """Boruvka minimum spanning forest of the weighted site graph
+    (operators/mst.py): per round every component picks its minimum
+    outgoing edge under the (w, a, b) total order, the choice graph is
+    contracted with the large-star/small-star CC operator. Tie-broken
+    weights make the forest unique, so the oracle's unrolled Boruvka
+    replay (fixed inner min-label depth with identity slack) matches
+    exactly."""
+    from dxa_pagerank_spark.operators.mst import boruvka_msf
+    from dxa_pagerank_spark.operators.sitegraph import site_rollup
+
+    sites = site_rollup(_web_edges(spark, sf_dir), block_size=_SITE_BLOCK)
+    return boruvka_msf(spark, sites)
+
+
 def q_temperature_mix(spark, sf_dir):
     """Multinomial temperature re-balancing of the corpus across
     languages (XLM/mT5 mixture rule, alpha=0.5: expected group sizes
@@ -1800,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topic_pagerank": q_topic_pagerank,
         "site_coreness": q_site_coreness,
         "anchor_expanded_docs": q_anchor_expanded_docs,
+        "site_mst": q_site_mst,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hits_5rounds": q_hits_5rounds,
@@ -2121,6 +2137,63 @@ def _ppr_rounds_sql(k: int) -> str:
             f" FROM sv LEFT JOIN c{i} ON sv.id = c{i}.id)",
         ]
     return ",\n".join(parts) + "\n"
+
+
+def _boruvka_sql(outer: int, inner: int, edges_sql: str) -> str:
+    """Unrolled Boruvka MSF (operators/mst.py): per outer round the
+    per-component argmin edge under (w, a, b), then a fixed-depth
+    min-label propagation contracts the choice graph (depth >= its
+    diameter; extra rounds are identity). Rounds past forest completion
+    are identity too, so generous outer/inner bounds are safe."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        "can AS MATERIALIZED (SELECT least(src, dst) AS a,"
+        " greatest(src, dst) AS b, min(weight::DOUBLE) AS w"
+        " FROM e WHERE src <> dst GROUP BY 1, 2)",
+        "mverts AS MATERIALIZED (SELECT a AS id FROM can"
+        " UNION SELECT b FROM can)",
+        "g0 AS MATERIALIZED (SELECT id, id AS c FROM mverts)",
+    ]
+    for r in range(1, outer + 1):
+        parts += [
+            f"live{r} AS MATERIALIZED (SELECT can.a, can.b, can.w,"
+            f" ga.c AS cu, gb.c AS cv FROM can"
+            f" JOIN g{r - 1} ga ON can.a = ga.id"
+            f" JOIN g{r - 1} gb ON can.b = gb.id WHERE ga.c <> gb.c)",
+            f"ch{r} AS MATERIALIZED (SELECT DISTINCT a, b, w FROM ("
+            f" SELECT comp, w, a, b, row_number() OVER ("
+            f" PARTITION BY comp ORDER BY w, a, b) AS rn FROM ("
+            f" SELECT cu AS comp, w, a, b FROM live{r}"
+            f" UNION ALL SELECT cv, w, a, b FROM live{r}) h) t"
+            f" WHERE rn = 1)",
+            f"cgs{r} AS MATERIALIZED (SELECT x, y FROM ("
+            f" SELECT ga.c AS x, gb.c AS y FROM ch{r} ch"
+            f" JOIN g{r - 1} ga ON ch.a = ga.id"
+            f" JOIN g{r - 1} gb ON ch.b = gb.id"
+            f" UNION ALL"
+            f" SELECT gb.c, ga.c FROM ch{r} ch"
+            f" JOIN g{r - 1} ga ON ch.a = ga.id"
+            f" JOIN g{r - 1} gb ON ch.b = gb.id) u GROUP BY x, y)",
+            f"l{r}_0 AS MATERIALIZED (SELECT x AS c, x AS m FROM ("
+            f" SELECT x FROM cgs{r} UNION SELECT y FROM cgs{r}) n)",
+        ]
+        for t in range(1, inner + 1):
+            parts.append(
+                f"l{r}_{t} AS MATERIALIZED (SELECT l.c,"
+                f" least(l.m, coalesce(nm.m, l.m)) AS m"
+                f" FROM l{r}_{t - 1} l LEFT JOIN ("
+                f" SELECT s.x AS c, min(l2.m) AS m FROM cgs{r} s"
+                f" JOIN l{r}_{t - 1} l2 ON s.y = l2.c GROUP BY s.x) nm"
+                f" ON nm.c = l.c)"
+            )
+        parts.append(
+            f"g{r} AS MATERIALIZED (SELECT g.id, coalesce(l.m, g.c) AS c"
+            f" FROM g{r - 1} g LEFT JOIN l{r}_{inner} l ON g.c = l.c)"
+        )
+    forest = " UNION ALL ".join(
+        f"SELECT a, b, w AS weight FROM ch{r}" for r in range(1, outer + 1)
+    )
+    return ",\n".join(parts) + f"\nSELECT * FROM ({forest}) f"
 
 
 def _core_numbers_sql(kmax: int, depth: int, edges_sql: str) -> str:
@@ -4395,6 +4468,9 @@ def oracle_sql() -> dict[str, str]:
         "crawl_delta": _CRAWL_DELTA_SQL,
         "topic_pagerank": _topicrank_rounds_sql(4),
         "anchor_expanded_docs": _ANCHOR_EXPANDED_SQL,
+        "site_mst": _boruvka_sql(
+            6, 20, _SITE_EDGES_SQL.format(web_edges=_WEB_EDGES_SQL)
+        ),
         "site_coreness": _core_numbers_sql(
             10, 6, _SITE_EDGES_SQL.format(web_edges=_WEB_EDGES_SQL)
         ),

@@ -1219,6 +1219,49 @@ def q_site_mst(spark, sf_dir):
     return boruvka_msf(spark, sites)
 
 
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: predicted heuristic language
+    (functions/textstats.py with_lang_id) vs the labeled lang column,
+    as (lang, lang_pred, n) counts — the calibration readout for the
+    n-gram language filter. Oracle = the shared lang_id SQL + the same
+    groupBy."""
+    from dxa_pagerank_spark.functions.textstats import with_lang_id
+
+    docs = with_lang_id(_t(spark, sf_dir, "documents"))
+    return docs.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_blended_topic_rank(spark, sf_dir):
+    """Haveliwala query-time blend: the three topic vectors of
+    topic_pagerank mixed with fixed weights (0.5/0.3/0.2) into one
+    ranking — a pure weighted sum over the (topic, id) rank table, no
+    further iteration. Oracle = the unrolled topic loop + the same
+    pivoted sum."""
+    from dxa_pagerank_spark.operators.topicrank import (
+        topic_sensitive_pagerank,
+    )
+
+    n = _t(spark, sf_dir, "documents").count()
+    topics = {
+        f"t{r}": [i for i in range(n) if i % 50 == r] for r in (0, 1, 2)
+    }
+    tr = topic_sensitive_pagerank(
+        spark, _web_edges(spark, sf_dir), topics, rounds=4
+    )
+    w = (
+        F.when(F.col("topic") == "t0", F.lit(0.5))
+        .when(F.col("topic") == "t1", F.lit(0.3))
+        .otherwise(F.lit(0.2))
+    )
+    return (
+        tr.select("id", (F.col("rank") * w).alias("wr"))
+        .groupBy("id")
+        .agg(F.round(F.sum("wr"), 6).alias("rank"))
+    )
+
+
 def q_temperature_mix(spark, sf_dir):
     """Multinomial temperature re-balancing of the corpus across
     languages (XLM/mT5 mixture rule, alpha=0.5: expected group sizes
@@ -1816,6 +1859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "site_coreness": q_site_coreness,
         "anchor_expanded_docs": q_anchor_expanded_docs,
         "site_mst": q_site_mst,
+        "lang_confusion": q_lang_confusion,
+        "blended_topic_rank": q_blended_topic_rank,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hits_5rounds": q_hits_5rounds,
@@ -3944,6 +3989,41 @@ _DOC_LENGTH_QUANTILES_SQL = """
 """
 
 
+_LANG_ID_SQL = r"""
+            WITH h2 AS (
+              SELECT doc_id, substr(coalesce(text, ''), 1, 2000) AS h
+              FROM documents),
+            w AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(h), '[a-zA-Zäöüéèêàçñ]+') AS words,
+                     length(regexp_replace(h, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
+                     greatest(length(h), 1) AS hl
+              FROM h2),
+            c AS (
+              SELECT doc_id, cjk, hl, words,
+                len(list_filter(words, x -> list_contains(
+                  ['the','and','of','to','is','that','with','for'], x))) AS c_en,
+                len(list_filter(words, x -> list_contains(
+                  ['der','die','und','das','ist','nicht','ein','mit'], x))) AS c_de,
+                len(list_filter(words, x -> list_contains(
+                  ['le','la','les','et','est','une','que','des'], x))) AS c_fr,
+                len(list_filter(words, x -> list_contains(
+                  ['el','la','los','que','es','una','por','con'], x))) AS c_es
+              FROM w)
+            SELECT doc_id,
+              CASE
+                WHEN cjk > 0 AND cjk::DOUBLE / hl > 0.05 THEN 'zh'
+                WHEN len(words) = 0 THEN 'und'
+                WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+                WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+                WHEN c_en = greatest(c_en, c_fr, c_es) THEN 'en'
+                WHEN c_es = greatest(c_fr, c_es) THEN 'es'
+                ELSE 'fr'
+              END AS lang_pred
+            FROM c
+        """
+
+
 def oracle_sql() -> dict[str, str]:
     from dxa_pagerank_spark.functions.sampling import temperature_sample_sql
 
@@ -4289,39 +4369,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS fingerprint
             FROM b
         """,
-        "lang_id": r"""
-            WITH h2 AS (
-              SELECT doc_id, substr(coalesce(text, ''), 1, 2000) AS h
-              FROM documents),
-            w AS (
-              SELECT doc_id,
-                     regexp_extract_all(lower(h), '[a-zA-Zäöüéèêàçñ]+') AS words,
-                     length(regexp_replace(h, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk,
-                     greatest(length(h), 1) AS hl
-              FROM h2),
-            c AS (
-              SELECT doc_id, cjk, hl, words,
-                len(list_filter(words, x -> list_contains(
-                  ['the','and','of','to','is','that','with','for'], x))) AS c_en,
-                len(list_filter(words, x -> list_contains(
-                  ['der','die','und','das','ist','nicht','ein','mit'], x))) AS c_de,
-                len(list_filter(words, x -> list_contains(
-                  ['le','la','les','et','est','une','que','des'], x))) AS c_fr,
-                len(list_filter(words, x -> list_contains(
-                  ['el','la','los','que','es','una','por','con'], x))) AS c_es
-              FROM w)
-            SELECT doc_id,
-              CASE
-                WHEN cjk > 0 AND cjk::DOUBLE / hl > 0.05 THEN 'zh'
-                WHEN len(words) = 0 THEN 'und'
-                WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
-                WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
-                WHEN c_en = greatest(c_en, c_fr, c_es) THEN 'en'
-                WHEN c_es = greatest(c_fr, c_es) THEN 'es'
-                ELSE 'fr'
-              END AS lang_pred
-            FROM c
-        """,
+        "lang_id": _LANG_ID_SQL,
         # minhash_dedup's LSH stage is exact-verified (jaccard join) and
         # deterministic; the oracle is the exact all-pairs >= 0.8 set.
         # Verified recall = 1.0 on this corpus (all near-dup pairs have
@@ -4468,6 +4516,18 @@ def oracle_sql() -> dict[str, str]:
         "crawl_delta": _CRAWL_DELTA_SQL,
         "topic_pagerank": _topicrank_rounds_sql(4),
         "anchor_expanded_docs": _ANCHOR_EXPANDED_SQL,
+        "lang_confusion": (
+            "WITH lp AS MATERIALIZED (" + _LANG_ID_SQL + ") "
+            "SELECT d.lang, lp.lang_pred, count(*) AS n "
+            "FROM documents d JOIN lp ON d.doc_id = lp.doc_id "
+            "GROUP BY d.lang, lp.lang_pred"
+        ),
+        "blended_topic_rank": (
+            _topicrank_rounds_sql(4).rsplit("SELECT", 1)[0]
+            + "SELECT id, round(sum(rank * CASE topic WHEN 't0' THEN 0.5"
+            + " WHEN 't1' THEN 0.3 ELSE 0.2 END), 6) AS rank"
+            + f" FROM p4 GROUP BY id"
+        ),
         "site_mst": _boruvka_sql(
             6, 20, _SITE_EDGES_SQL.format(web_edges=_WEB_EDGES_SQL)
         ),

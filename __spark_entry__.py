@@ -1262,6 +1262,43 @@ def q_blended_topic_rank(spark, sf_dir):
     )
 
 
+def _web_edges_old(spark, sf_dir):
+    """Yesterday's crawl: the full link rule MINUS the i%3==0 duplicate
+    arm (the oracle's _WEB_EDGES_OLD_SQL)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    i = F.col("doc_id").cast("long")
+    live = docs.filter(i % 10 != 0)
+    return live.select(
+        i.alias("src"), ((i + 1) % n).alias("dst")
+    ).unionAll(live.select(i.alias("src"), ((3 * i + 7) % n).alias("dst")))
+
+
+def q_incremental_pagerank(spark, sf_dir):
+    """Incremental crawl update: 6 cold reference rounds on yesterday's
+    edge table, then a WARM START (operators/pagerank.py initial_ranks)
+    of 4 rounds on today's full table — the daily-recrawl path the
+    checkpoint/lineage design exists for. The oracle replays both
+    phases (cold law with the 1/N quirk, then the warm law with the
+    conservation-residual round-1 mass) unrolled in SQL."""
+    from dxa_pagerank_spark.operators.pagerank import pagerank
+
+    base = pagerank(
+        spark,
+        _web_edges_old(spark, sf_dir),
+        threshold=1e-18,
+        max_rounds=6,
+    )
+    warm = pagerank(
+        spark,
+        _web_edges(spark, sf_dir),
+        threshold=1e-18,
+        max_rounds=4,
+        initial_ranks=base.ranks,
+    )
+    return warm.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_temperature_mix(spark, sf_dir):
     """Multinomial temperature re-balancing of the corpus across
     languages (XLM/mT5 mixture rule, alpha=0.5: expected group sizes
@@ -1861,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "site_mst": q_site_mst,
         "lang_confusion": q_lang_confusion,
         "blended_topic_rank": q_blended_topic_rank,
+        "incremental_pagerank": q_incremental_pagerank,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hits_5rounds": q_hits_5rounds,
@@ -3272,6 +3310,97 @@ def _table_profile_oracle() -> str:
     )
 
 
+
+_WEB_EDGES_OLD_SQL = """
+    SELECT doc_id AS src,
+           (doc_id + 1) % (SELECT count(*) FROM documents) AS dst
+    FROM documents WHERE doc_id % 10 <> 0
+    UNION ALL
+    SELECT doc_id, (3 * doc_id + 7) % (SELECT count(*) FROM documents)
+    FROM documents WHERE doc_id % 10 <> 0
+"""
+
+
+def _incremental_pagerank_sql(k1: int, k2: int) -> str:
+    """Two-phase unrolled replay of q_incremental_pagerank: phase A =
+    reference-exact cold PageRank (round-1 1/N quirk + restore) for k1
+    rounds on the OLD edge rule (_WEB_EDGES_OLD_SQL: the duplicate
+    i%3==0 arm not yet crawled); phase B = the warm-start law
+    (operators/pagerank.py initial_ranks: 1/N fill for new non-dangling
+    vertices, round-1 dangling mass = conservation residual of the
+    injected ranks) for k2 rounds on the FULL edge rule + restore."""
+    a = [
+        f"WITH edges AS MATERIALIZED ({_WEB_EDGES_OLD_SQL})",
+        "verts AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges)",
+        "nv AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM verts)",
+        "deg AS MATERIALIZED (SELECT src AS id, count(*)::DOUBLE AS out_deg FROM edges GROUP BY src)",
+        "ew AS MATERIALIZED (SELECT e.src, e.dst, 1.0/d.out_deg AS w FROM edges e JOIN deg d ON e.src = d.id)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nv) AS rank FROM deg)",
+    ]
+    for i in range(1, k1 + 1):
+        mass = (
+            "(1.0/(SELECT n FROM nv))" if i == 1
+            else f"(SELECT mass FROM d{i - 1})"
+        )
+        a += [
+            f"c{i} AS MATERIALIZED (SELECT ew.dst AS id, sum(r.rank*ew.w) AS contrib"
+            f" FROM ew JOIN r{i - 1} r ON ew.src = r.id GROUP BY ew.dst)",
+            f"r{i} AS MATERIALIZED (SELECT r{i - 1}.id,"
+            f" 0.15/(SELECT n FROM nv) + 0.85*coalesce(c{i}.contrib,0)"
+            f" + 0.85*{mass}/(SELECT n FROM nv) AS rank"
+            f" FROM r{i - 1} LEFT JOIN c{i} ON r{i - 1}.id = c{i}.id)",
+            f"d{i} AS MATERIALIZED (SELECT 1 - sum(rank) AS mass FROM r{i})",
+        ]
+    a += [
+        "dangA AS MATERIALIZED (SELECT id FROM verts EXCEPT SELECT id FROM deg)",
+        f"crA AS MATERIALIZED (SELECT ew.dst AS id, sum(r.rank*ew.w) AS contrib"
+        f" FROM ew JOIN r{k1} r ON ew.src = r.id"
+        " WHERE ew.dst IN (SELECT id FROM dangA) GROUP BY ew.dst)",
+        "rdA AS MATERIALIZED (SELECT dangA.id,"
+        " 0.15/(SELECT n FROM nv) + 0.85*coalesce(crA.contrib,0)"
+        f" + 0.85*(SELECT mass FROM d{k1})/(SELECT n FROM nv) AS rank"
+        " FROM dangA LEFT JOIN crA ON dangA.id = crA.id)",
+        f"finalA AS MATERIALIZED (SELECT id, rank FROM r{k1}"
+        " UNION ALL SELECT id, rank FROM rdA)",
+        # ---- phase B: warm start on the full edge rule ----
+        f"edgesB AS MATERIALIZED ({_WEB_EDGES_SQL})",
+        "vertsB AS MATERIALIZED (SELECT src AS id FROM edgesB UNION SELECT dst AS id FROM edgesB)",
+        "nvB AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM vertsB)",
+        "degB AS MATERIALIZED (SELECT src AS id, count(*)::DOUBLE AS out_deg FROM edgesB GROUP BY src)",
+        "ewB AS MATERIALIZED (SELECT e.src, e.dst, 1.0/d.out_deg AS w FROM edgesB e JOIN degB d ON e.src = d.id)",
+        "b0 AS MATERIALIZED (SELECT degB.id,"
+        " coalesce(finalA.rank, 1.0/(SELECT n FROM nvB)) AS rank"
+        " FROM degB LEFT JOIN finalA ON degB.id = finalA.id)",
+        "bd0 AS MATERIALIZED (SELECT 1 - sum(rank) AS mass FROM b0)",
+    ]
+    for i in range(1, k2 + 1):
+        a += [
+            f"bc{i} AS MATERIALIZED (SELECT ewB.dst AS id, sum(b.rank*ewB.w) AS contrib"
+            f" FROM ewB JOIN b{i - 1} b ON ewB.src = b.id GROUP BY ewB.dst)",
+            f"b{i} AS MATERIALIZED (SELECT b{i - 1}.id,"
+            f" 0.15/(SELECT n FROM nvB) + 0.85*coalesce(bc{i}.contrib,0)"
+            f" + 0.85*(SELECT mass FROM bd{i - 1})/(SELECT n FROM nvB) AS rank"
+            f" FROM b{i - 1} LEFT JOIN bc{i} ON b{i - 1}.id = bc{i}.id)",
+            f"bd{i} AS MATERIALIZED (SELECT 1 - sum(rank) AS mass FROM b{i})",
+        ]
+    a += [
+        "dangB AS MATERIALIZED (SELECT id FROM vertsB EXCEPT SELECT id FROM degB)",
+        f"crB AS MATERIALIZED (SELECT ewB.dst AS id, sum(b.rank*ewB.w) AS contrib"
+        f" FROM ewB JOIN b{k2} b ON ewB.src = b.id"
+        " WHERE ewB.dst IN (SELECT id FROM dangB) GROUP BY ewB.dst)",
+        "rdB AS MATERIALIZED (SELECT dangB.id,"
+        " 0.15/(SELECT n FROM nvB) + 0.85*coalesce(crB.contrib,0)"
+        f" + 0.85*(SELECT mass FROM bd{k2})/(SELECT n FROM nvB) AS rank"
+        " FROM dangB LEFT JOIN crB ON dangB.id = crB.id)",
+    ]
+    return (
+        ",\n".join(a)
+        + f"""
+    SELECT id, round(rank, 6) AS rank FROM b{k2}
+    UNION ALL SELECT id, round(rank, 6) AS rank FROM rdB"""
+    )
+
+
 def _lpa_modularity_sql(k: int) -> str:
     """Newman modularity of the k-round unrolled LPA labels — the
     labels CTE is the exact _lpa_rounds_sql(k) query, the Q formula
@@ -4528,6 +4657,7 @@ def oracle_sql() -> dict[str, str]:
             + " WHEN 't1' THEN 0.3 ELSE 0.2 END), 6) AS rank"
             + f" FROM p4 GROUP BY id"
         ),
+        "incremental_pagerank": _incremental_pagerank_sql(6, 4),
         "site_mst": _boruvka_sql(
             6, 20, _SITE_EDGES_SQL.format(web_edges=_WEB_EDGES_SQL)
         ),

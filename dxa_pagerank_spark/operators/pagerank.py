@@ -102,8 +102,17 @@ def pagerank(
     hub_salt: int = 0,
     hub_threshold: int = 100_000,
     ckpt_storage: StorageLevel | None = StorageLevel.DISK_ONLY,
+    initial_ranks: DataFrame | None = None,
 ) -> PageRankResult:
     """Run reference-semantics PageRank over an edge DataFrame.
+
+    initial_ranks: optional (id, rank) warm start — the incremental-
+    crawl path: feed yesterday's converged ranks, iterate on today's
+    edge table, converge in a fraction of the rounds. Non-dangling
+    vertices missing from it start at 1/N; the round-1 dangling mass is
+    the ACTUAL conservation residual 1 - sum(injected ranks), not the
+    reference's cold-start 1/N quirk (same convention as a checkpoint
+    resume). Ignored when a checkpoint resume restores state.
 
     checkpoint_manager: optional plans.checkpoint.CheckpointManager; when
     given, every ``checkpoint_interval`` rounds the rank table + a metrics
@@ -247,6 +256,22 @@ def pagerank(
             result.converged = bool(
                 result.errors and result.errors[-1] <= threshold
             )
+    if ranks is None and initial_ranks is not None:
+        ranks = (
+            nd_ids.join(
+                initial_ranks.select(
+                    F.col("id").cast(idx_t).alias("id"),
+                    F.col("rank").cast("double").alias("rank"),
+                ),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce("rank", F.lit(inv_n)).alias("rank"))
+            .repartition(num_partitions, "id")
+            .localCheckpoint(eager=True)
+        )
+        injected = ranks.agg(F.sum("rank")).collect()[0][0]
+        dangling = 1.0 - (float(injected) if injected is not None else 0.0)
     if ranks is None:
         ranks = (
             nd_ids.withColumn("rank", F.lit(inv_n))

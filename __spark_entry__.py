@@ -1299,6 +1299,22 @@ def q_incremental_pagerank(spark, sf_dir):
     return warm.ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_benchmark_contamination(spark, sf_dir):
+    """Span-level benchmark decontamination audit (GPT-3 13-gram
+    collision filter at span granularity — functions/spandedup.py
+    contamination_stats): the "benchmark" is the arithmetic subset
+    doc_id %% 25 == 0 of the corpus itself, so verbatim hits are
+    guaranteed; width 8. Oracle replays window hashes, the broadcast
+    semi-join, and the island merge in SQL."""
+    from dxa_pagerank_spark.functions.spandedup import contamination_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0).select("text")
+    return contamination_stats(docs, bench, width=8).withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
 def q_temperature_mix(spark, sf_dir):
     """Multinomial temperature re-balancing of the corpus across
     languages (XLM/mT5 mixture rule, alpha=0.5: expected group sizes
@@ -1899,6 +1915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         "blended_topic_rank": q_blended_topic_rank,
         "incremental_pagerank": q_incremental_pagerank,
+        "benchmark_contamination": q_benchmark_contamination,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hits_5rounds": q_hits_5rounds,
@@ -3401,6 +3418,54 @@ def _incremental_pagerank_sql(k1: int, k2: int) -> str:
     )
 
 
+def _contamination_sql(width: int) -> str:
+    """Replay of q_benchmark_contamination: benchmark = doc_id %% 25
+    == 0 subset, md5 window hashes on both sides, semi-join, island
+    merge, per-doc stats (zeros for clean docs)."""
+    w = int(width)
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        FROM documents),
+    win AS MATERIALIZED (
+        SELECT doc_id, pos, md5(array_to_string(ts[pos+1 : pos+{w}], ' ')) AS h
+        FROM (SELECT doc_id, ts,
+                     unnest(range(0, greatest(len(ts) - {w} + 1, 0))) AS pos
+              FROM toks)),
+    bw AS MATERIALIZED (
+        SELECT DISTINCT h FROM win WHERE doc_id % 25 = 0),
+    hits AS (
+        SELECT w.doc_id, w.pos AS s, w.pos + {w} - 1 AS e
+        FROM win w WHERE w.h IN (SELECT h FROM bw)),
+    marked AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -2) + 1
+                    THEN 1 ELSE 0 END AS brk
+        FROM hits),
+    grp AS (
+        SELECT doc_id, s, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS UNBOUNDED PRECEDING) AS g
+        FROM marked),
+    spans AS (
+        SELECT doc_id, min(s) AS span_start, max(e) AS span_end,
+               max(e) - min(s) + 1 AS span_len
+        FROM grp GROUP BY doc_id, g),
+    per AS (
+        SELECT doc_id, sum(span_len) AS ct, count(*) AS ns
+        FROM spans GROUP BY doc_id)
+    SELECT t.doc_id, len(t.ts) AS n_tokens,
+           coalesce(per.ct, 0)::BIGINT AS contaminated_tokens,
+           round(coalesce(per.ct, 0)
+                 / greatest(len(t.ts), 1)::DOUBLE, 6) AS contaminated_frac,
+           coalesce(per.ns, 0) AS n_spans
+    FROM toks t LEFT JOIN per ON t.doc_id = per.doc_id
+    """
+
+
 def _lpa_modularity_sql(k: int) -> str:
     """Newman modularity of the k-round unrolled LPA labels — the
     labels CTE is the exact _lpa_rounds_sql(k) query, the Q formula
@@ -4658,6 +4723,7 @@ def oracle_sql() -> dict[str, str]:
             + f" FROM p4 GROUP BY id"
         ),
         "incremental_pagerank": _incremental_pagerank_sql(6, 4),
+        "benchmark_contamination": _contamination_sql(8),
         "site_mst": _boruvka_sql(
             6, 20, _SITE_EDGES_SQL.format(web_edges=_WEB_EDGES_SQL)
         ),

@@ -120,8 +120,14 @@ def duplicate_spans(
     dupw = dupw.select(
         "id", F.col("pos").alias("s"), (F.col("pos") + w - 1).alias("e")
     )
-    # island merge: a window starts a new span iff it begins more than
-    # one past the furthest end seen so far in this document
+    return _merge_islands(dupw)
+
+
+def _merge_islands(dupw: DataFrame) -> DataFrame:
+    """(id, s, e) window set -> maximal merged (id, span_start,
+    span_end, span_len) islands per id: a window starts a new span iff
+    it begins more than one past the furthest end seen so far in this
+    document. Shared by the dedup and decontamination paths."""
     byid = Window.partitionBy("id").orderBy("s")
     prev_max_e = F.max("e").over(
         byid.rowsBetween(Window.unboundedPreceding, -1)
@@ -141,6 +147,78 @@ def duplicate_spans(
             (F.max("e") - F.min("s") + 1).alias("span_len"),
         )
         .drop("g")
+    )
+
+
+def contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    width: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """-> (id, span_start, span_end, span_len): maximal corpus token
+    spans that appear VERBATIM in the benchmark — span-level
+    decontamination (the GPT-3 report's 13-gram collision filter,
+    Brown et al. 2020 App. C, applied at span rather than document
+    granularity; functions/lmscore.decontaminate is the doc-level
+    form). A length-L shared passage matches L - W + 1 windows whose
+    island merge recovers the span exactly, as in ExactSubstr dedup.
+
+    Plan shape: benchmark window hashes are DISTINCT and broadcast
+    (benchmarks are tiny next to the corpus); the corpus side is one
+    projection + semi-join — the corpus text never shuffles, and the
+    only window sort is per-document."""
+    w = int(width)
+    cw = token_window_hashes(corpus, id_col, text_col, w)
+    bench = benchmark.select(
+        F.lit(0).alias("bid"), F.col(bench_text_col).alias("btext")
+    )
+    bw = token_window_hashes(bench, "bid", "btext", w).select("h").distinct()
+    hits = cw.join(F.broadcast(bw), "h", "left_semi").select(
+        "id", F.col("pos").alias("s"), (F.col("pos") + w - 1).alias("e")
+    )
+    return _merge_islands(hits)
+
+
+def contamination_stats(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    width: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """-> one row per corpus doc: (id, n_tokens, contaminated_tokens,
+    contaminated_frac, n_spans) — the audit table a decontamination
+    threshold is chosen from. Docs with no contamination report
+    zeros."""
+    spans = contaminated_spans(
+        corpus, benchmark, width, id_col, text_col, bench_text_col
+    )
+    per_doc = spans.groupBy("id").agg(
+        F.sum("span_len").alias("contaminated_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    toks = _tokens(corpus, id_col, text_col).select(
+        "id", F.size("ts").alias("n_tokens")
+    )
+    return (
+        toks.join(per_doc, "id", "left")
+        .select(
+            "id",
+            "n_tokens",
+            F.coalesce("contaminated_tokens", F.lit(0)).alias(
+                "contaminated_tokens"
+            ),
+            F.round(
+                F.coalesce("contaminated_tokens", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("contaminated_frac"),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+        )
     )
 
 

@@ -972,6 +972,26 @@ def q_web_walks(spark, sf_dir):
     return random_walks(_web_edges(spark, sf_dir), seeds, length=4)
 
 
+def q_walk_skipgrams(spark, sf_dir):
+    """Skip-gram co-occurrence table with PMI over the deterministic
+    walks (operators/walks.py skipgram_cooccurrence — the
+    DeepWalk/node2vec training-pair extraction; PMI per Levy &
+    Goldberg). Same seeds/length as web_walks, window 2; the oracle
+    replays the walks, the windowed self-join, and the PMI ln."""
+    from dxa_pagerank_spark.operators.walks import (
+        random_walks,
+        skipgram_cooccurrence,
+    )
+
+    seeds = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 49 == 1)
+        .select(F.col("doc_id").alias("id"))
+    )
+    walks = random_walks(_web_edges(spark, sf_dir), seeds, length=4)
+    return skipgram_cooccurrence(walks, window=2)
+
+
 def q_web_bfs_levels(spark, sf_dir):
     """Multi-source BFS hop distances from every 100th page over the
     link graph (operators/bfs.py — the Broder-style web distance
@@ -1893,6 +1913,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_cocitation": q_web_cocitation,
         "web_coupling": q_web_coupling,
         "web_walks": q_web_walks,
+        "walk_skipgrams": q_walk_skipgrams,
         "web_bfs_levels": q_web_bfs_levels,
         "web_distance_histogram": q_web_distance_histogram,
         "graph_reciprocity": q_graph_reciprocity,
@@ -2938,10 +2959,12 @@ _LINKPRED_SQL = """
 """
 
 
-def _walks_sql(web_edges: str, length: int = 4) -> str:
-    """Unrolled replay of operators/walks.py: step t picks
+def _walks_cte(web_edges: str, length: int = 4) -> str:
+    """WITH-clause prefix ending in a `w(walk_id, step, v)` CTE that
+    replays operators/walks.py exactly: step t picks
     min_by(dst, score(dst, v, t)) — the same injective arithmetic rule,
-    so the walks are identical step by step."""
+    so the walks are identical step by step. Shared by the walk and
+    skip-gram oracles."""
     steps = []
     for t in range(1, length + 1):
         score = (
@@ -2952,7 +2975,7 @@ def _walks_sql(web_edges: str, length: int = 4) -> str:
             f"s{t} AS (SELECT walk_id, min_by(e.dst, {score}) AS v "
             f"FROM s{t - 1} JOIN e ON s{t - 1}.v = e.src GROUP BY walk_id)"
         )
-    unions = "\n    UNION ALL ".join(
+    unions = "\n        UNION ALL ".join(
         f"SELECT walk_id, {t} AS step, v FROM s{t}" for t in range(length + 1)
     )
     return (
@@ -2961,8 +2984,40 @@ def _walks_sql(web_edges: str, length: int = 4) -> str:
         "s0 AS (SELECT doc_id AS walk_id, doc_id AS v FROM documents "
         "WHERE doc_id % 49 = 1),\n"
         + ",\n".join(steps)
-        + "\n    "
+        + ",\n    w AS MATERIALIZED (\n        "
         + unions
+        + ")"
+    )
+
+
+def _walks_sql(web_edges: str, length: int = 4) -> str:
+    """Unrolled replay of operators/walks.py (see _walks_cte)."""
+    return _walks_cte(web_edges, length) + "\n    SELECT * FROM w"
+
+
+def _skipgram_sql(web_edges: str, length: int = 4, window: int = 2) -> str:
+    """Replay of q_walk_skipgrams: the identical deterministic walks
+    (shared _walks_cte), the window-bounded self-join, exact-integer
+    counts/marginals, and the PMI ln in the same operand order."""
+    win = int(window)
+    return (
+        _walks_cte(web_edges, length)
+        + f""",
+    pairs AS (
+        SELECT a.v AS center, b.v AS context
+        FROM w a JOIN w b ON a.walk_id = b.walk_id
+         AND a.step <> b.step AND abs(a.step - b.step) <= {win}),
+    cnt AS (
+        SELECT center, context, count(*) AS n_cooc
+        FROM pairs GROUP BY center, context),
+    tot AS (SELECT sum(n_cooc)::BIGINT AS t FROM cnt)
+    SELECT center, context, n_cooc,
+           round(ln(n_cooc * t
+                    / (sum(n_cooc) OVER (PARTITION BY center)
+                       * sum(n_cooc) OVER (PARTITION BY context))),
+                 6) AS pmi
+    FROM cnt, tot
+    """
     )
 
 
@@ -4681,6 +4736,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "web_spam_mass": _spammass_sql(10, _WEB_EDGES_SQL, "id % 50 = 1"),
         "web_walks": _walks_sql(_WEB_EDGES_SQL, length=4),
+        "walk_skipgrams": _skipgram_sql(_WEB_EDGES_SQL, length=4, window=2),
         "web_bfs_levels": _BFS_SQL.format(web_edges=_WEB_EDGES_SQL),
         "web_distance_histogram": (
             "WITH levels AS ("

@@ -28,7 +28,7 @@ per step with localCheckpoint.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 P = 2147483647
@@ -70,3 +70,72 @@ def random_walks(
         )
         out = out.union(cur)
     return out
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """-> (walk_id, center, context, offset): every ordered skip-gram
+    co-occurrence within `window` steps along a walk (DeepWalk KDD'14
+    §4.2 / word2vec context windows; offset = context step - center
+    step, never 0). The self-join is an equi-join on walk_id, and a
+    walk contributes at most length+1 rows per side, so the per-key
+    fan-out is a small constant — no skew regardless of graph shape."""
+    w = int(window)
+    a = walks.select(
+        "walk_id", F.col("step").alias("i"), F.col("v").alias("center")
+    )
+    b = walks.select(
+        "walk_id", F.col("step").alias("j"), F.col("v").alias("context")
+    )
+    return (
+        a.join(b, "walk_id")
+        .where(
+            (F.col("i") != F.col("j"))
+            & (F.abs(F.col("i") - F.col("j")) <= w)
+        )
+        .select(
+            "walk_id",
+            "center",
+            "context",
+            (F.col("j") - F.col("i")).alias("offset"),
+        )
+    )
+
+
+def skipgram_cooccurrence(walks: DataFrame, window: int = 2) -> DataFrame:
+    """-> (center, context, n_cooc, pmi): the aggregated skip-gram
+    co-occurrence table with pointwise mutual information — the
+    training-pair table a DeepWalk/node2vec embedding run consumes
+    (and, per Levy & Goldberg NeurIPS'14, the implicit matrix that
+    skip-gram factorizes). Everything is exact-integer until the final
+    PMI ln, so the SQL oracle replays it bit-for-bit.
+
+    Plan shape: the pair counts are one map-side-combinable groupBy;
+    the marginals are two window sums over the already-aggregated
+    (center, context) table (|pairs| rows, not |cooccurrences|); the
+    grand total is a 1-row aggregate broadcast back."""
+    cnt = (
+        skipgram_pairs(walks, window)
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+    )
+    tot = cnt.agg(F.sum("n_cooc").alias("t"))
+    c_cnt = F.sum("n_cooc").over(Window.partitionBy("center"))
+    x_cnt = F.sum("n_cooc").over(Window.partitionBy("context"))
+    return (
+        cnt.withColumn("c_cnt", c_cnt)
+        .withColumn("x_cnt", x_cnt)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "center",
+            "context",
+            "n_cooc",
+            F.round(
+                F.log(
+                    F.col("n_cooc")
+                    * F.col("t")
+                    / (F.col("c_cnt") * F.col("x_cnt"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -210,6 +210,32 @@ def test_walks_and_bfs_jvm_only(spark):
         assert "ArrowEvalPython" not in plan
 
 
+def test_skipgram_plan_shape(spark):
+    """Skip-gram extraction: the pair self-join is an equi-join on
+    walk_id (never a cartesian), the co-occurrence count partial-aggs
+    map-side, the 1-row total re-enters via broadcast, and the whole
+    path is JVM-only."""
+    from dxa_pagerank_spark.operators.walks import (
+        random_walks,
+        skipgram_cooccurrence,
+    )
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    s = spark.createDataFrame([(0,)], "id long")
+    df = skipgram_cooccurrence(random_walks(e, s, length=2), window=2)
+    plan = _plan(df)
+    # the only nested-loop join allowed is the broadcast 1-row total
+    # attach (the global-scalar idiom); a non-broadcast cartesian would
+    # mean the pair self-join lost its walk_id equi-key. formatted
+    # explain names each node twice (tree line + detail header).
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
 def test_webtext_filters_plans(spark):
     """r03 webtext additions stay JVM-only with the intended shapes:
     line-dedup broadcasts the boilerplate table into the anti-join and

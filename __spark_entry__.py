@@ -40,6 +40,28 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _EDGES_SQL = "SELECT l_orderkey AS src, l_suppkey AS dst FROM lineitem"
 
+# Cold connected components over _EDGES_SQL — shared by the cold and
+# warm-start (incremental_components) oracles: warm-start semantics
+# guarantee output identical to a cold run on the full edge set.
+_CC_COLD_SQL = f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    verts AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
+    sym AS (SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM edges
+        UNION ALL SELECT dst AS u, src AS v FROM edges) t WHERE u <> v),
+    -- min-label reachability: a label l spreads from its vertex
+    -- along any path whose every subsequent vertex is > l; the
+    -- component minimum satisfies this on every path, so
+    -- min(label) per id is exactly the component minimum.
+    r(id, label) AS (
+        SELECT id, id FROM verts
+        UNION
+        SELECT e.v AS id, r.label FROM r JOIN sym e ON e.u = r.id
+        WHERE r.label < e.v
+    )
+    SELECT id, min(label) AS component FROM r GROUP BY id
+"""
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: converged PageRank on sf0.001, top-100 vertices."""
@@ -1319,6 +1341,25 @@ def q_incremental_pagerank(spark, sf_dir):
     return warm.ranks.select("id", F.round("rank", 6).alias("rank"))
 
 
+def q_incremental_components(spark, sf_dir):
+    """Incremental crawl update for connected components
+    (operators/components.py incremental_components): yesterday =
+    the (src+dst) %% 3 != 0 subset of the edge table, labeled cold;
+    today = the full table, warm-started from those labels. The warm
+    result is provably identical to a cold run on the full table —
+    the oracle IS the cold-CC SQL, so any warm-start corruption
+    hash-mismatches."""
+    from dxa_pagerank_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    edges = _edges(spark, sf_dir)
+    yesterday = edges.filter((F.col("src") + F.col("dst")) % 3 != 0)
+    prior = connected_components(spark, yesterday)
+    return incremental_components(spark, edges, prior)
+
+
 def q_benchmark_contamination(spark, sf_dir):
     """Span-level benchmark decontamination audit (GPT-3 13-gram
     collision filter at span granularity — functions/spandedup.py
@@ -1936,6 +1977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": q_lang_confusion,
         "blended_topic_rank": q_blended_topic_rank,
         "incremental_pagerank": q_incremental_pagerank,
+        "incremental_components": q_incremental_components,
         "benchmark_contamination": q_benchmark_contamination,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
@@ -4315,24 +4357,8 @@ def oracle_sql() -> dict[str, str]:
         "top20_pagerank": _PAGERANK_PRELUDE
         + """SELECT id, round(rank, 6) AS rank FROM final
              ORDER BY round(rank, 6) DESC, id LIMIT 20""",
-        "connected_components": f"""
-            WITH RECURSIVE edges AS ({_EDGES_SQL}),
-            verts AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),
-            sym AS (SELECT DISTINCT u, v FROM (
-                SELECT src AS u, dst AS v FROM edges
-                UNION ALL SELECT dst AS u, src AS v FROM edges) t WHERE u <> v),
-            -- min-label reachability: a label l spreads from its vertex
-            -- along any path whose every subsequent vertex is > l; the
-            -- component minimum satisfies this on every path, so
-            -- min(label) per id is exactly the component minimum.
-            r(id, label) AS (
-                SELECT id, id FROM verts
-                UNION
-                SELECT e.v AS id, r.label FROM r JOIN sym e ON e.u = r.id
-                WHERE r.label < e.v
-            )
-            SELECT id, min(label) AS component FROM r GROUP BY id
-        """,
+        "connected_components": _CC_COLD_SQL,
+        "incremental_components": _CC_COLD_SQL,
         "cc_one_round": f"""
             WITH edges AS ({_EDGES_SQL}),
             verts AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),

@@ -158,6 +158,16 @@ def main() -> None:
         "betweenness_sf",
         lambda: entrymod.q_site_betweenness(spark, SF_DIR).count(),
     )
+    timed(
+        "skipgrams_sf",
+        lambda: entrymod.q_walk_skipgrams(spark, SF_DIR).count(),
+    )
+    timed(
+        "contamination_sf",
+        lambda: entrymod.q_benchmark_contamination(spark, SF_DIR).agg(
+            F.sum("contaminated_tokens")
+        ).collect(),
+    )
 
     # --- synthetic PageRank hot loop: the BASELINE.json metric ---
     # csr (the north_star kernel) is the headline; the general df loop

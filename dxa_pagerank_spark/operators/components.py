@@ -75,9 +75,12 @@ def connected_components(
     vertices: DataFrame | None = None,
     method: str = "two_phase",
     max_rounds: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """-> components(id, component) over the full vertex universe;
-    isolated vertices are their own component."""
+    isolated vertices are their own component. If `stats` is a dict,
+    "rounds" is written into it (loop-length observability for the
+    warm-start path below)."""
     from .pagerank import vertex_universe
 
     verts = vertex_universe(spark, edges, num_vertices, vertices)
@@ -89,13 +92,65 @@ def connected_components(
     )
 
     if method == "two_phase":
-        parents = _two_phase(pairs, max_rounds)
+        parents = _two_phase(pairs, max_rounds, stats=stats)
     elif method == "propagation":
         parents = _propagation(pairs, max_rounds)
     else:
         raise ValueError(f"unknown method {method!r}")
 
-    # parents: (u, root) for every non-isolated, non-root vertex.
+    return _attach(verts, parents)
+
+
+def incremental_components(
+    spark: SparkSession,
+    edges: DataFrame,
+    prior_labels: DataFrame,
+    num_vertices: int | None = None,
+    vertices: DataFrame | None = None,
+    max_rounds: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Warm-start connected components for append-only graphs (the
+    incremental-crawl counterpart of pagerank's initial_ranks):
+    yesterday's (id, component) labels are injected as extra pair
+    edges, so every previously-discovered component enters the loop as
+    a ready-made star and the two-phase rewriting only has to stitch
+    the newly-added edges — a handful of rounds over a near-fixpoint
+    edge set instead of the cold O(log^2 n) schedule.
+
+    CORRECTNESS REQUIRES append-only growth: every prior label must
+    assert connectivity that still exists in `edges` (true when edges
+    only accumulate, as with streaming/ingest.py drains). With edge
+    deletions, recompute cold. Under that precondition the output is
+    IDENTICAL to connected_components(edges) — extra intra-component
+    edges never change the partition, and the min-id component naming
+    is unaffected — which is exactly what the driver oracle pins.
+
+    Prior-label ids absent from today's edges (isolated carry-overs)
+    stay in the output universe with their self-label."""
+    from .pagerank import vertex_universe
+
+    verts = (
+        vertex_universe(spark, edges, num_vertices, vertices)
+        .union(prior_labels.select(F.col("id")))
+        .distinct()
+    )
+    label_pairs = prior_labels.filter(
+        F.col("id") != F.col("component")
+    ).select(F.col("id").alias("u"), F.col("component").alias("v"))
+    pairs = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .union(label_pairs)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return _attach(verts, _two_phase(pairs, max_rounds, stats=stats))
+
+
+def _attach(verts: DataFrame, parents: DataFrame) -> DataFrame:
+    """parents (u, root) for every non-isolated, non-root vertex ->
+    full (id, component) table over the vertex universe."""
     return (
         verts.alias("vv")
         .join(parents.alias("p"), F.col("vv.id") == F.col("p.u"), "left")
@@ -106,9 +161,13 @@ def connected_components(
     )
 
 
-def _two_phase(pairs: DataFrame, max_rounds: int) -> DataFrame:
+def _two_phase(
+    pairs: DataFrame, max_rounds: int, stats: dict | None = None
+) -> DataFrame:
     edges = pairs
+    rounds = 0
     for _ in range(max_rounds):
+        rounds += 1
         after = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         # fixpoint: the star edge set is invariant under both phases
         changed = (
@@ -124,6 +183,8 @@ def _two_phase(pairs: DataFrame, max_rounds: int) -> DataFrame:
                 pass
         if not changed:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
     # at fixpoint every edge points leaf -> component-min root
     return edges.groupBy("u").agg(F.min("v").alias("v"))
 

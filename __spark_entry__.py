@@ -1360,6 +1360,31 @@ def q_incremental_components(spark, sf_dir):
     return incremental_components(spark, edges, prior)
 
 
+def q_rank_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion (functions/fusion.py, Cormack et al.
+    SIGIR'09) of three document signals: converged web PageRank,
+    heuristic quality score, and unigram-LM score (negated — lower
+    perplexity is better). k=60, per-signal top-100, fused top-20.
+    The oracle replays all three signals and the truncated-rank RRF
+    sum in one SQL statement."""
+    from dxa_pagerank_spark.functions.fusion import rrf_fuse
+
+    pr = q_web_pagerank(spark, sf_dir)
+    q = q_doc_quality(spark, sf_dir)
+    lm = q_lm_quality(spark, sf_dir)
+    signals = [
+        ("pagerank", pr.select("id", F.col("rank").alias("score"))),
+        (
+            "quality",
+            q.select(
+                F.col("doc_id").alias("id"), F.col("quality").alias("score")
+            ),
+        ),
+        ("lm", lm.select("id", (-F.col("mean_neg_logprob")).alias("score"))),
+    ]
+    return rrf_fuse(signals, k=60, top_m=100, n_out=20)
+
+
 def q_benchmark_contamination(spark, sf_dir):
     """Span-level benchmark decontamination audit (GPT-3 13-gram
     collision filter at span granularity — functions/spandedup.py
@@ -1979,6 +2004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_pagerank": q_incremental_pagerank,
         "incremental_components": q_incremental_components,
         "benchmark_contamination": q_benchmark_contamination,
+        "rank_fusion": q_rank_fusion,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hits_5rounds": q_hits_5rounds,
@@ -3515,6 +3541,72 @@ def _incremental_pagerank_sql(k1: int, k2: int) -> str:
     )
 
 
+def _rank_fusion_sql(k: int = 60, top_m: int = 100, n_out: int = 20) -> str:
+    """Replay of q_rank_fusion: the 60-round web PageRank prelude
+    (shared with the web_pagerank oracle), the quality and unigram-LM
+    signals (CTE-renamed copies of their own oracles), per-signal
+    truncated row_number ranks, and the fixed-order RRF sum with
+    ::DOUBLE divisions (DuckDB's bare 1.0 is DECIMAL — different
+    division semantics than Spark's double)."""
+    return (
+        _pagerank_rounds_sql(60, edges_sql=_WEB_EDGES_SQL)
+        + f""",
+    sig_pr AS (SELECT id, round(rank, 6) AS score FROM final),
+    qs AS (SELECT doc_id,
+            length(text) AS n_chars,
+            length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))::DOUBLE
+                / greatest(length(text), 1) AS alpha_ratio,
+            length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                / greatest(len(regexp_extract_all(text, '[A-Za-z]+')), 1) AS atl
+           FROM documents),
+    sig_q AS (SELECT doc_id AS id,
+              round(((CASE WHEN n_chars BETWEEN 200 AND 20000 THEN 1.0
+                           ELSE least(n_chars::DOUBLE / 200.0, 1.0) END)
+                     + (CASE WHEN atl BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END)
+                     + alpha_ratio) / 3.0, 6) AS score
+              FROM qs),
+    lm_toks AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '),
+                                  t -> t <> '')) AS term
+        FROM documents),
+    lm_pd AS (SELECT doc_id, term, count(*) AS tf FROM lm_toks
+              GROUP BY doc_id, term),
+    lm_vocab AS (SELECT term, sum(tf) AS ctf FROM lm_pd GROUP BY term),
+    lm_tot AS (SELECT sum(ctf)::DOUBLE AS t FROM lm_vocab),
+    lm_agg AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+                      sum(tf * -ln(ctf / (SELECT t FROM lm_tot))) AS nll
+               FROM lm_pd JOIN lm_vocab USING (term) GROUP BY doc_id),
+    sig_lm AS (SELECT d.doc_id AS id,
+                      -round(CASE WHEN coalesce(lm_agg.n_tokens, 0) > 0
+                                  THEN lm_agg.nll / lm_agg.n_tokens
+                                  ELSE 0.0 END, 6) AS score
+               FROM documents d LEFT JOIN lm_agg ON d.doc_id = lm_agg.doc_id),
+    rp AS (SELECT id, r FROM (
+             SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r
+             FROM sig_pr) WHERE r <= {top_m}),
+    rq AS (SELECT id, r FROM (
+             SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r
+             FROM sig_q) WHERE r <= {top_m}),
+    rl AS (SELECT id, r FROM (
+             SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r
+             FROM sig_lm) WHERE r <= {top_m})
+    SELECT coalesce(rp.id, rq.id, rl.id) AS id,
+           coalesce(rp.r, 0) AS rank_pagerank,
+           coalesce(rq.r, 0) AS rank_quality,
+           coalesce(rl.r, 0) AS rank_lm,
+           round(coalesce(1.0::DOUBLE / ({k} + rp.r), 0.0)
+                 + coalesce(1.0::DOUBLE / ({k} + rq.r), 0.0)
+                 + coalesce(1.0::DOUBLE / ({k} + rl.r), 0.0), 6) AS rrf_score
+    FROM rp
+    FULL JOIN rq ON rp.id = rq.id
+    FULL JOIN rl ON coalesce(rp.id, rq.id) = rl.id
+    ORDER BY rrf_score DESC, coalesce(rp.id, rq.id, rl.id)
+    LIMIT {n_out}
+    """
+    )
+
+
 def _contamination_sql(width: int) -> str:
     """Replay of q_benchmark_contamination: benchmark = doc_id %% 25
     == 0 subset, md5 window hashes on both sides, semi-join, island
@@ -4806,6 +4898,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "incremental_pagerank": _incremental_pagerank_sql(6, 4),
         "benchmark_contamination": _contamination_sql(8),
+        "rank_fusion": _rank_fusion_sql(k=60, top_m=100, n_out=20),
         "site_mst": _boruvka_sql(
             6, 20, _SITE_EDGES_SQL.format(web_edges=_WEB_EDGES_SQL)
         ),

@@ -1360,6 +1360,19 @@ def q_incremental_components(spark, sf_dir):
     return incremental_components(spark, edges, prior)
 
 
+def q_powerlaw_alpha(spark, sf_dir):
+    """Discrete power-law exponent MLE over the link graph's in-degree
+    tail (operators/graphstats.py powerlaw_fit, Clauset-Shalizi-Newman
+    eq. 3.7, dmin=2) — the web-graph heavy-tail characterization next
+    to degree_skew. Oracle replays the distinct-degree aggregate and
+    the alpha/sigma formulas."""
+    from dxa_pagerank_spark.operators.graphstats import powerlaw_fit
+
+    return powerlaw_fit(
+        spark, _web_edges(spark, sf_dir), direction="in", dmin=2
+    )
+
+
 def q_rank_fusion(spark, sf_dir):
     """Reciprocal-rank fusion (functions/fusion.py, Cormack et al.
     SIGIR'09) of three document signals: converged web PageRank,
@@ -2005,6 +2018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_components": q_incremental_components,
         "benchmark_contamination": q_benchmark_contamination,
         "rank_fusion": q_rank_fusion,
+        "powerlaw_alpha": q_powerlaw_alpha,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hits_5rounds": q_hits_5rounds,
@@ -4899,6 +4913,20 @@ def oracle_sql() -> dict[str, str]:
         "incremental_pagerank": _incremental_pagerank_sql(6, 4),
         "benchmark_contamination": _contamination_sql(8),
         "rank_fusion": _rank_fusion_sql(k=60, top_m=100, n_out=20),
+        "powerlaw_alpha": f"""
+            WITH we AS ({_WEB_EDGES_SQL}),
+            e AS (SELECT DISTINCT src, dst FROM we WHERE src <> dst),
+            deg AS (SELECT dst AS id, count(*) AS d FROM e GROUP BY dst),
+            dist AS (SELECT d, count(*) AS c FROM deg WHERE d >= 2
+                     GROUP BY d),
+            agg AS (SELECT sum(c)::BIGINT AS n,
+                           sum(c * ln(d::DOUBLE / 1.5::DOUBLE)) AS s
+                    FROM dist)
+            SELECT 2::BIGINT AS dmin, n AS n_tail,
+                   round(1 + n / s, 6) AS alpha,
+                   round((n / s) / sqrt(n), 6) AS sigma
+            FROM agg
+        """,
         "site_mst": _boruvka_sql(
             6, 20, _SITE_EDGES_SQL.format(web_edges=_WEB_EDGES_SQL)
         ),

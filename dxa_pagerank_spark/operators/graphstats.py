@@ -271,3 +271,62 @@ def degree_skew_report(
         F.round("gini", 6).alias("gini"),
         F.round("topk_share", 6).alias("topk_share"),
     )
+
+
+def powerlaw_fit(
+    spark, edges: DataFrame, direction: str = "in", dmin: int = 2
+) -> DataFrame:
+    """1-row (dmin, n_tail, alpha, sigma): discrete power-law exponent
+    MLE over degrees >= dmin — Clauset, Shalizi & Newman (SIAM Review
+    2009) eq. 3.7 approximation
+
+        alpha = 1 + n / sum_i ln(d_i / (dmin - 1/2)),
+        sigma = (alpha - 1) / sqrt(n)
+
+    — the "is this a web-like heavy-tail graph" pre-flight check next
+    to degree_skew_report (web in-degrees are the canonical alpha ~ 2.1
+    case, Broder et al. WWW'00). dmin is a caller-supplied cutoff; for
+    the full Clauset KS-minimizing scan, call this per candidate dmin
+    and keep the best — each call is one tiny aggregate.
+
+    Physical shape: one degree groupBy (the only corpus-scale
+    shuffle), then the tail filter and a single 1-row aggregate over
+    the DISTINCT-DEGREE-VALUE table (sum(c * ln(d / (dmin - 0.5))) —
+    thousands of rows at any graph size), all map-side combinable.
+    Raises if the tail is empty."""
+    if direction not in ("in", "out"):
+        raise ValueError(f"direction {direction!r} not in ('in', 'out')")
+    if dmin < 1:
+        raise ValueError("dmin must be >= 1")
+    key = "dst" if direction == "in" else "src"
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = e.groupBy(F.col(key).alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    dist = (
+        deg.filter(F.col("d") >= dmin)
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = dist.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log(F.col("d") / F.lit(dmin - 0.5))).alias("s"),
+    )
+    row = agg.collect()[0]
+    if not row["n"]:
+        raise ValueError(f"no vertices with degree >= dmin={dmin}")
+    n, s = int(row["n"]), float(row["s"])
+    out = spark.createDataFrame(
+        [(dmin, n, 1.0 + n / s, (n / s) / (n ** 0.5))],
+        "dmin long, n_tail long, alpha double, sigma double",
+    )
+    return out.select(
+        "dmin",
+        "n_tail",
+        F.round("alpha", 6).alias("alpha"),
+        F.round("sigma", 6).alias("sigma"),
+    )

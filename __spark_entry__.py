@@ -1682,6 +1682,18 @@ def q_lm_quality(spark, sf_dir):
     return unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_bigram_lm(spark, sf_dir):
+    """Per-document mean bigram conditional -ln p(w2|w1) under the
+    corpus's own MLE bigram model (functions/lmscore.py
+    bigram_logprob) — the conditional LM filter that catches
+    locally-incoherent token salads unigram scoring misses. The oracle
+    replays the bigram explode, the left-marginal, and the per-pair
+    count*ln association."""
+    from dxa_pagerank_spark.functions.lmscore import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 def q_lm_quality_buckets(spark, sf_dir):
     """CCNet head/middle/tail perplexity split
     (functions/lmscore.py:perplexity_buckets, Wenzek et al. 2019):
@@ -2019,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benchmark_contamination": q_benchmark_contamination,
         "rank_fusion": q_rank_fusion,
         "powerlaw_alpha": q_powerlaw_alpha,
+        "bigram_lm": q_bigram_lm,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hits_5rounds": q_hits_5rounds,
@@ -4913,6 +4926,36 @@ def oracle_sql() -> dict[str, str]:
         "incremental_pagerank": _incremental_pagerank_sql(6, 4),
         "benchmark_contamination": _contamination_sql(8),
         "rank_fusion": _rank_fusion_sql(k=60, top_m=100, n_out=20),
+        "bigram_lm": """
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   t -> t <> '') AS ts
+                FROM documents),
+            bg AS MATERIALIZED (
+                SELECT doc_id, ts[pos + 1] || ' ' || ts[pos + 2] AS gram
+                FROM (SELECT doc_id, ts,
+                             unnest(range(0, greatest(len(ts) - 1, 0))) AS pos
+                      FROM toks)),
+            pd AS (SELECT doc_id, gram, count(*) AS tf FROM bg
+                   GROUP BY doc_id, gram),
+            vocab AS (SELECT gram, sum(tf) AS cbg FROM pd GROUP BY gram),
+            lft AS (SELECT split_part(gram, ' ', 1) AS w1,
+                           sum(cbg) AS cleft
+                    FROM vocab GROUP BY w1),
+            model AS (SELECT gram, cbg, cleft
+                      FROM vocab JOIN lft
+                        ON split_part(vocab.gram, ' ', 1) = lft.w1),
+            agg AS (SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+                           sum(tf * -ln(cbg / cleft)) AS nll
+                    FROM pd JOIN model USING (gram) GROUP BY doc_id)
+            SELECT d.doc_id AS id,
+                   coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   round(CASE WHEN coalesce(agg.n_bigrams, 0) > 0
+                              THEN agg.nll / agg.n_bigrams
+                              ELSE 0.0 END, 6) AS mean_neg_logprob
+            FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
         "powerlaw_alpha": f"""
             WITH we AS ({_WEB_EDGES_SQL}),
             e AS (SELECT DISTINCT src, dst FROM we WHERE src <> dst),

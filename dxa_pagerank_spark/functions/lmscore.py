@@ -87,6 +87,77 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (id, n_bigrams, mean_neg_logprob): per-document mean bigram
+    conditional negative log-probability under the corpus's own MLE
+    bigram model, p(w2|w1) = c(w1 w2) / c(w1 ·) with c(w1 ·) = corpus
+    occurrences of w1 in non-final position — the conditional
+    counterpart of unigram_logprob (one step toward the KenLM n-gram
+    CCNet actually ships; no smoothing needed because every scored
+    bigram is by construction observed in the corpus, so p > 0).
+    Catches locally-incoherent token salads that unigram scoring
+    misses (common words in impossible orders score HIGH). Documents
+    with fewer than 2 tokens report 0 bigrams and a 0.0 score.
+
+    100-TB shape and determinism contract match unigram_logprob: one
+    (doc, bigram) explode shuffle with map-side combine; the bigram
+    vocabulary and its left-marginal are corpus-level aggregates
+    broadcast back; the per-doc sum multiplies each distinct pair's
+    float ln once by its exact integer count (identical association in
+    SQL), rounded to 6 places."""
+    grams = documents.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(ngram_array(F.col(text_col), 2)).alias("gram"),
+    )
+    per_doc = grams.groupBy("id", "gram").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = (
+        per_doc.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.sum("tf").alias("cbg"))
+    )
+    # left marginal c(w1 ·): sum of bigram counts sharing the left
+    # token — exactly the occurrences of w1 in non-final position
+    left = vocab.groupBy(
+        F.substring_index(F.col("gram"), " ", 1).alias("w1")
+    ).agg(F.sum("cbg").alias("cleft"))
+    model = vocab.select(
+        "gram",
+        F.substring_index(F.col("gram"), " ", 1).alias("w1"),
+        "cbg",
+    ).join(F.broadcast(left), "w1")
+    scored = (
+        per_doc.join(F.broadcast(model), "gram", "left")
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.when(F.col("gram").isNotNull(), F.col("tf")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_bigrams"),
+            F.sum(
+                F.when(
+                    F.col("gram").isNotNull(),
+                    F.col("tf") * -F.log(F.col("cbg") / F.col("cleft")),
+                ).otherwise(0.0)
+            ).alias("nll_sum"),
+        )
+    )
+    return scored.select(
+        "id",
+        "n_bigrams",
+        F.round(
+            F.when(
+                F.col("n_bigrams") > 0, F.col("nll_sum") / F.col("n_bigrams")
+            ).otherwise(0.0),
+            6,
+        ).alias("mean_neg_logprob"),
+    )
+
+
 def contaminated_ids(
     documents: DataFrame,
     benchmark: DataFrame,

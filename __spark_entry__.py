@@ -1373,6 +1373,23 @@ def q_powerlaw_alpha(spark, sf_dir):
     )
 
 
+def q_crawl_schedule(spark, sf_dir):
+    """Politeness-batched recrawl plan (functions/frontier.py
+    schedule_frontier): converged web PageRank as priority, host =
+    25-page id blocks (the fixture site rule), at most 3 fetches per
+    host per wave, first 5 waves. The oracle replays the PageRank
+    prelude and the per-host rank/wave assignment."""
+    from dxa_pagerank_spark.functions.frontier import schedule_frontier
+
+    pr = q_web_pagerank(spark, sf_dir)
+    frontier = pr.select(
+        "id",
+        F.floor(F.col("id") / 25).alias("host"),
+        F.col("rank").alias("priority"),
+    )
+    return schedule_frontier(frontier, per_host=3, max_waves=5)
+
+
 def q_rank_fusion(spark, sf_dir):
     """Reciprocal-rank fusion (functions/fusion.py, Cormack et al.
     SIGIR'09) of three document signals: converged web PageRank,
@@ -2032,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_fusion": q_rank_fusion,
         "powerlaw_alpha": q_powerlaw_alpha,
         "bigram_lm": q_bigram_lm,
+        "crawl_schedule": q_crawl_schedule,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hits_5rounds": q_hits_5rounds,
@@ -4926,6 +4944,17 @@ def oracle_sql() -> dict[str, str]:
         "incremental_pagerank": _incremental_pagerank_sql(6, 4),
         "benchmark_contamination": _contamination_sql(8),
         "rank_fusion": _rank_fusion_sql(k=60, top_m=100, n_out=20),
+        "crawl_schedule": _pagerank_rounds_sql(60, edges_sql=_WEB_EDGES_SQL)
+        + """,
+    f AS (SELECT id, id // 25 AS host, round(rank, 6) AS priority
+          FROM final),
+    rk AS (SELECT id, host,
+                  row_number() OVER (PARTITION BY host
+                                     ORDER BY priority DESC, id) AS host_rank
+           FROM f)
+    SELECT id, host, host_rank, (host_rank - 1) // 3 AS wave
+    FROM rk WHERE host_rank <= 15
+    """,
         "bigram_lm": """
             WITH toks AS MATERIALIZED (
                 SELECT doc_id,

@@ -1390,6 +1390,30 @@ def q_crawl_schedule(spark, sf_dir):
     return schedule_frontier(frontier, per_host=3, max_waves=5)
 
 
+def q_redirect_resolution(spark, sf_dir):
+    """Redirect-chain resolution (operators/redirects.py, pointer
+    doubling with exact hop counts and sound cycle detection) over a
+    deterministic synthetic redirect law on doc ids: %10 in {1,4} hop
+    +3 (3-hop chains to a terminal), %100 in {95,97} form 2-cycles
+    (whose %10==1/4 feeders are cycle-flagged too). The oracle is the
+    recursive chain walk with the same dedup-on-src law."""
+    from dxa_pagerank_spark.operators.redirects import resolve_redirects
+
+    d = F.col("doc_id")
+    redirects = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            d.alias("src"),
+            F.when(d % 100 == 95, d + 2)
+            .when(d % 100 == 97, d - 2)
+            .when((d % 10).isin(1, 4), d + 3)
+            .alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    return resolve_redirects(spark, redirects)
+
+
 def q_rank_fusion(spark, sf_dir):
     """Reciprocal-rank fusion (functions/fusion.py, Cormack et al.
     SIGIR'09) of three document signals: converged web PageRank,
@@ -2050,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "powerlaw_alpha": q_powerlaw_alpha,
         "bigram_lm": q_bigram_lm,
         "crawl_schedule": q_crawl_schedule,
+        "redirect_resolution": q_redirect_resolution,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hits_5rounds": q_hits_5rounds,
@@ -4944,6 +4969,32 @@ def oracle_sql() -> dict[str, str]:
         "incremental_pagerank": _incremental_pagerank_sql(6, 4),
         "benchmark_contamination": _contamination_sql(8),
         "rank_fusion": _rank_fusion_sql(k=60, top_m=100, n_out=20),
+        "redirect_resolution": """
+            WITH RECURSIVE raw AS (
+                SELECT doc_id AS src,
+                       CASE WHEN doc_id % 100 = 95 THEN doc_id + 2
+                            WHEN doc_id % 100 = 97 THEN doc_id - 2
+                            WHEN doc_id % 10 IN (1, 4) THEN doc_id + 3
+                       END AS dst
+                FROM documents),
+            rd AS (SELECT src, min(dst) AS dst FROM raw
+                   WHERE dst IS NOT NULL AND src <> dst GROUP BY src),
+            srcs AS (SELECT src FROM rd),
+            r(src, cur, d) AS (
+                SELECT src, dst, 1::BIGINT FROM rd
+                UNION
+                SELECT r.src, rd.dst, r.d + 1
+                FROM r JOIN rd ON r.cur = rd.src WHERE r.d < 1000
+            ),
+            term AS (SELECT src, min(cur) AS final, min(d) AS hops
+                     FROM r
+                     WHERE cur NOT IN (SELECT src FROM srcs)
+                     GROUP BY src)
+            SELECT s.src, coalesce(term.final, -1) AS final,
+                   coalesce(term.hops, 0)::BIGINT AS hops,
+                   term.src IS NULL AS is_cycle
+            FROM srcs s LEFT JOIN term ON s.src = term.src
+        """,
         "crawl_schedule": _pagerank_rounds_sql(60, edges_sql=_WEB_EDGES_SQL)
         + """,
     f AS (SELECT id, id // 25 AS host, round(rank, 6) AS priority

@@ -1414,6 +1414,22 @@ def q_redirect_resolution(spark, sf_dir):
     return resolve_redirects(spark, redirects)
 
 
+def q_textrank_keywords(spark, sf_dir):
+    """Corpus TextRank keywords (functions/textrank.py, Mihalcea &
+    Tarau 2004): window-2 token co-occurrence graph, 10 weighted
+    rounds of S(u) = 0.15 + 0.85 * sum(w/sumw * S), top 30 terms.
+    The oracle unrolls the identical rounds over the same edge
+    CTEs."""
+    from dxa_pagerank_spark.functions.textrank import textrank_keywords
+
+    return textrank_keywords(
+        _t(spark, sf_dir, "documents"),
+        window=2,
+        rounds=10,
+        top_k=30,
+    )
+
+
 def q_rank_fusion(spark, sf_dir):
     """Reciprocal-rank fusion (functions/fusion.py, Cormack et al.
     SIGIR'09) of three document signals: converged web PageRank,
@@ -2075,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm": q_bigram_lm,
         "crawl_schedule": q_crawl_schedule,
         "redirect_resolution": q_redirect_resolution,
+        "textrank_keywords": q_textrank_keywords,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hits_5rounds": q_hits_5rounds,
@@ -3611,6 +3628,57 @@ def _incremental_pagerank_sql(k1: int, k2: int) -> str:
     )
 
 
+def _textrank_sql(window: int = 2, rounds: int = 10, top_k: int = 30) -> str:
+    """Replay of q_textrank_keywords: the window-bounded co-occurrence
+    edge CTEs, then `rounds` unrolled weighted TextRank rounds with the
+    exact float shapes of functions/textrank.py ((e.w / sumw) * score
+    per edge, (1 - 0.85::DOUBLE) base so the double literal matches
+    Spark's Python-computed 1.0 - damping)."""
+    w = int(window)
+    parts = [
+        """WITH toks AS MATERIALIZED (
+        SELECT doc_id, list_filter(string_split(text, ' '),
+                                   t -> t <> '') AS ts
+        FROM documents)""",
+        """tpos AS MATERIALIZED (
+        SELECT doc_id, pos, ts[pos + 1] AS term
+        FROM (SELECT doc_id, ts, unnest(range(0, len(ts))) AS pos
+              FROM toks))""",
+        f"""pairs AS (
+        SELECT least(a.term, b.term) AS u, greatest(a.term, b.term) AS v
+        FROM tpos a JOIN tpos b ON a.doc_id = b.doc_id
+         AND b.pos > a.pos AND b.pos - a.pos <= {w}
+         AND a.term <> b.term)""",
+        "und AS (SELECT u, v, count(*) AS w FROM pairs GROUP BY u, v)",
+        "ed AS MATERIALIZED (SELECT u, v, w FROM und"
+        " UNION ALL SELECT v, u, w FROM und)",
+        "verts AS MATERIALIZED (SELECT DISTINCT u AS term FROM ed)",
+        "sw AS MATERIALIZED (SELECT v AS term, sum(w) AS sumw"
+        " FROM ed GROUP BY v)",
+        "s0 AS MATERIALIZED (SELECT term, 1.0::DOUBLE AS score FROM verts)",
+    ]
+    for i in range(1, rounds + 1):
+        parts += [
+            f"""g{i} AS (
+        SELECT e.u AS term, sum((e.w / sw.sumw) * s{i - 1}.score) AS acc
+        FROM ed e JOIN sw ON e.v = sw.term
+        JOIN s{i - 1} ON e.v = s{i - 1}.term
+        GROUP BY e.u)""",
+            f"""s{i} AS MATERIALIZED (
+        SELECT vv.term,
+               (1 - 0.85::DOUBLE)
+               + 0.85::DOUBLE * coalesce(g{i}.acc, 0.0::DOUBLE) AS score
+        FROM verts vv LEFT JOIN g{i} ON vv.term = g{i}.term)""",
+        ]
+    return (
+        ",\n    ".join(parts)
+        + f"""
+    SELECT term, round(score, 6) AS score FROM s{rounds}
+    ORDER BY round(score, 6) DESC, term LIMIT {top_k}
+    """
+    )
+
+
 def _rank_fusion_sql(k: int = 60, top_m: int = 100, n_out: int = 20) -> str:
     """Replay of q_rank_fusion: the 60-round web PageRank prelude
     (shared with the web_pagerank oracle), the quality and unigram-LM
@@ -4969,6 +5037,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_pagerank": _incremental_pagerank_sql(6, 4),
         "benchmark_contamination": _contamination_sql(8),
         "rank_fusion": _rank_fusion_sql(k=60, top_m=100, n_out=20),
+        "textrank_keywords": _textrank_sql(window=2, rounds=10, top_k=30),
         "redirect_resolution": """
             WITH RECURSIVE raw AS (
                 SELECT doc_id AS src,

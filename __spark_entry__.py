@@ -1430,6 +1430,20 @@ def q_textrank_keywords(spark, sf_dir):
     )
 
 
+def q_cdc_dedup(spark, sf_dir):
+    """Content-defined chunking dedup audit (functions/cdc.py,
+    LBFS/FastCDC at token granularity): width-4 rolling md5 windows
+    cut where the first hex digit is '0' (divisor 16, ~16-token
+    chunks); a chunk is dup when its content hash recurs corpus-wide.
+    The oracle replays the cut rule, the running-count chunk
+    assignment, and the ordered chunk hash in SQL."""
+    from dxa_pagerank_spark.functions.cdc import cdc_dedup_stats
+
+    return cdc_dedup_stats(
+        _t(spark, sf_dir, "documents"), width=4, divisor=16
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_rank_fusion(spark, sf_dir):
     """Reciprocal-rank fusion (functions/fusion.py, Cormack et al.
     SIGIR'09) of three document signals: converged web PageRank,
@@ -2092,6 +2106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_schedule": q_crawl_schedule,
         "redirect_resolution": q_redirect_resolution,
         "textrank_keywords": q_textrank_keywords,
+        "cdc_dedup": q_cdc_dedup,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hits_5rounds": q_hits_5rounds,
@@ -5038,6 +5053,63 @@ def oracle_sql() -> dict[str, str]:
         "benchmark_contamination": _contamination_sql(8),
         "rank_fusion": _rank_fusion_sql(k=60, top_m=100, n_out=20),
         "textrank_keywords": _textrank_sql(window=2, rounds=10, top_k=30),
+        "cdc_dedup": """
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id, list_filter(string_split(text, ' '),
+                                           t -> t <> '') AS ts
+                FROM documents),
+            tok AS MATERIALIZED (
+                SELECT doc_id, pos, ts[pos + 1] AS term
+                FROM (SELECT doc_id, ts, unnest(range(0, len(ts))) AS pos
+                      FROM toks)),
+            win AS (
+                SELECT doc_id, pos,
+                       md5(array_to_string(ts[pos + 1 : pos + 4], ' ')) AS h
+                FROM (SELECT doc_id, ts,
+                             unnest(range(0, greatest(len(ts) - 3, 0))) AS pos
+                      FROM toks)),
+            cuts AS (SELECT doc_id, pos + 3 AS cut_pos FROM win
+                     WHERE substr(h, 1, 1) = '0'),
+            flagged AS (
+                SELECT t.doc_id, t.pos, t.term,
+                       CASE WHEN c.cut_pos IS NOT NULL THEN 1 ELSE 0 END
+                           AS cut
+                FROM tok t LEFT JOIN cuts c
+                  ON t.doc_id = c.doc_id AND t.pos = c.cut_pos),
+            chunked AS (
+                SELECT doc_id, pos, term,
+                       coalesce(sum(cut) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS chunk
+                FROM flagged),
+            chunks AS (
+                SELECT doc_id, chunk, count(*) AS n_tokens,
+                       md5(string_agg(term, ' ' ORDER BY pos)) AS chunk_hash
+                FROM chunked GROUP BY doc_id, chunk),
+            multi AS (SELECT chunk_hash FROM (
+                          SELECT chunk_hash, count(*) AS c FROM chunks
+                          GROUP BY chunk_hash) WHERE c >= 2),
+            dup AS (SELECT doc_id, count(*) AS dup_chunks,
+                           sum(n_tokens) AS dup_tokens
+                    FROM chunks
+                    WHERE chunk_hash IN (SELECT chunk_hash FROM multi)
+                    GROUP BY doc_id),
+            per AS (SELECT doc_id, sum(n_tokens) AS n_tokens,
+                           count(*) AS n_chunks
+                    FROM chunks GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(per.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(per.n_chunks, 0)::BIGINT AS n_chunks,
+                   coalesce(dup.dup_chunks, 0)::BIGINT AS dup_chunks,
+                   coalesce(dup.dup_tokens, 0)::BIGINT AS dup_tokens,
+                   round(coalesce(dup.dup_tokens, 0)
+                         / greatest(coalesce(per.n_tokens, 0), 1)::DOUBLE,
+                         6) AS dup_token_frac
+            FROM documents d
+            LEFT JOIN per ON d.doc_id = per.doc_id
+            LEFT JOIN dup ON d.doc_id = dup.doc_id
+        """,
         "redirect_resolution": """
             WITH RECURSIVE raw AS (
                 SELECT doc_id AS src,

@@ -1444,6 +1444,19 @@ def q_cdc_dedup(spark, sf_dir):
     ).withColumnRenamed("id", "doc_id")
 
 
+def q_corpus_diversity(spark, sf_dir):
+    """Per-language lexical diversity report (functions/terms.py
+    diversity_report, n=2): type-token ratio and distinct-bigram
+    ratio — the repetitiveness gauges read before weighting a source
+    in a mixture. Exact integer counts; the oracle replays the
+    token/bigram explodes and distinct counts."""
+    from dxa_pagerank_spark.functions.terms import diversity_report
+
+    return diversity_report(
+        _t(spark, sf_dir, "documents"), n=2, group_col="lang"
+    )
+
+
 def q_rank_fusion(spark, sf_dir):
     """Reciprocal-rank fusion (functions/fusion.py, Cormack et al.
     SIGIR'09) of three document signals: converged web PageRank,
@@ -2107,6 +2120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolution": q_redirect_resolution,
         "textrank_keywords": q_textrank_keywords,
         "cdc_dedup": q_cdc_dedup,
+        "corpus_diversity": q_corpus_diversity,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hits_5rounds": q_hits_5rounds,
@@ -5053,6 +5067,43 @@ def oracle_sql() -> dict[str, str]:
         "benchmark_contamination": _contamination_sql(8),
         "rank_fusion": _rank_fusion_sql(k=60, top_m=100, n_out=20),
         "textrank_keywords": _textrank_sql(window=2, rounds=10, top_k=30),
+        "corpus_diversity": """
+            WITH toks AS MATERIALIZED (
+                SELECT lang AS grp,
+                       list_filter(string_split(text, ' '),
+                                   t -> t <> '') AS ts
+                FROM documents),
+            docs AS (SELECT grp, count(*) AS n_docs,
+                            sum(len(ts))::BIGINT AS n_tokens,
+                            sum(greatest(len(ts) - 1, 0))::BIGINT
+                                AS total_ngrams
+                     FROM toks GROUP BY grp),
+            types AS (SELECT grp, count(DISTINCT term) AS n_types
+                      FROM (SELECT grp, unnest(ts) AS term FROM toks)
+                      GROUP BY grp),
+            grams AS (SELECT grp, count(DISTINCT gram) AS distinct_ngrams
+                      FROM (SELECT grp, ts[pos + 1] || ' ' || ts[pos + 2]
+                                        AS gram
+                            FROM (SELECT grp, ts,
+                                         unnest(range(0,
+                                             greatest(len(ts) - 1, 0)))
+                                             AS pos
+                                  FROM toks))
+                      GROUP BY grp)
+            SELECT d.grp, d.n_docs, d.n_tokens,
+                   coalesce(t.n_types, 0)::BIGINT AS n_types,
+                   round(coalesce(t.n_types, 0)
+                         / greatest(d.n_tokens, 1)::DOUBLE, 6) AS ttr,
+                   coalesce(g.distinct_ngrams, 0)::BIGINT
+                       AS distinct_ngrams,
+                   d.total_ngrams,
+                   round(coalesce(g.distinct_ngrams, 0)
+                         / greatest(d.total_ngrams, 1)::DOUBLE, 6)
+                       AS distinct_ngram_ratio
+            FROM docs d
+            LEFT JOIN types t ON d.grp = t.grp
+            LEFT JOIN grams g ON d.grp = g.grp
+        """,
         "cdc_dedup": """
             WITH toks AS MATERIALIZED (
                 SELECT doc_id, list_filter(string_split(text, ' '),

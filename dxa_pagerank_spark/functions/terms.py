@@ -143,3 +143,71 @@ def vocab_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def diversity_report(
+    documents: DataFrame,
+    n: int = 2,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> one row per group: (group, n_docs, n_tokens, n_types, ttr,
+    distinct_ngrams, total_ngrams, distinct_ngram_ratio) — lexical
+    diversity of each sub-corpus (type-token ratio + distinct-n ratio,
+    the standard repetitiveness/diversity gauges a mixture design
+    reads before weighting a source up; low distinct-n = template
+    spam, near-1 = natural text). All counts are exact integers; the
+    two ratios are single divisions, so the SQL oracle matches
+    exactly.
+
+    100-TB shape: one explode per granularity, each groupBy partially
+    aggregated map-side; every post-aggregate table is vocabulary- or
+    group-sized."""
+    from .repetition import ngram_array
+
+    base = documents.select(
+        F.col(group_col).alias("grp"),
+        F.filter(F.split(F.col(text_col), " "), lambda t: t != "").alias(
+            "ts"
+        ),
+        ngram_array(F.col(text_col), n).alias("gs"),
+    )
+    docs = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("ts")).alias("n_tokens"),
+        F.sum(F.size("gs")).alias("total_ngrams"),
+    )
+    types = (
+        base.select("grp", F.explode("ts").alias("term"))
+        .distinct()
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+    )
+    grams = (
+        base.select("grp", F.explode("gs").alias("gram"))
+        .distinct()
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("distinct_ngrams"))
+    )
+    return (
+        docs.join(types, "grp", "left")
+        .join(grams, "grp", "left")
+        .select(
+            F.col("grp").alias("grp"),
+            "n_docs",
+            "n_tokens",
+            F.coalesce("n_types", F.lit(0)).alias("n_types"),
+            F.round(
+                F.coalesce("n_types", F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("ttr"),
+            F.coalesce("distinct_ngrams", F.lit(0)).alias("distinct_ngrams"),
+            "total_ngrams",
+            F.round(
+                F.coalesce("distinct_ngrams", F.lit(0))
+                / F.greatest(F.col("total_ngrams"), F.lit(1)),
+                6,
+            ).alias("distinct_ngram_ratio"),
+        )
+    )

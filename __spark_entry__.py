@@ -1457,6 +1457,22 @@ def q_corpus_diversity(spark, sf_dir):
     )
 
 
+def q_containment_pairs(spark, sf_dir):
+    """Asymmetric containment near-dup (functions/dedup.py
+    containment_pairs, Broder's c(A in B)): 3-gram shingles,
+    stop-shingle df cap 50, pairs sharing >= 3 shingles — catches
+    quotation/subset relations symmetric Jaccard scores near 0. The
+    oracle replays the gram pipeline, the df cap, and the ratios."""
+    from dxa_pagerank_spark.functions.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        n=3,
+        min_common=3,
+        max_gram_df=50,
+    )
+
+
 def q_rank_fusion(spark, sf_dir):
     """Reciprocal-rank fusion (functions/fusion.py, Cormack et al.
     SIGIR'09) of three document signals: converged web PageRank,
@@ -2121,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": q_textrank_keywords,
         "cdc_dedup": q_cdc_dedup,
         "corpus_diversity": q_corpus_diversity,
+        "containment_pairs": q_containment_pairs,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hits_5rounds": q_hits_5rounds,
@@ -5067,6 +5084,42 @@ def oracle_sql() -> dict[str, str]:
         "benchmark_contamination": _contamination_sql(8),
         "rank_fusion": _rank_fusion_sql(k=60, top_m=100, n_out=20),
         "textrank_keywords": _textrank_sql(window=2, rounds=10, top_k=30),
+        "containment_pairs": """
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                         regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                         ' +'), x -> x <> '') AS t
+              FROM documents),
+            grams AS MATERIALIZED (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN
+                         list_distinct(list_transform(range(1, len(t) - 1),
+                             i -> array_to_string(t[i:i+2], ' ')))
+                     ELSE [array_to_string(t, ' ')] END AS g
+              FROM toks),
+            ex0 AS MATERIALIZED (SELECT doc_id, unnest(g) AS gram FROM grams),
+            keep AS (SELECT gram FROM ex0 GROUP BY gram
+                     HAVING count(*) <= 50),
+            ex AS MATERIALIZED (
+              SELECT doc_id, gram FROM ex0
+              WHERE gram IN (SELECT gram FROM keep)),
+            sizes AS MATERIALIZED (
+              SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS inter
+              FROM ex a JOIN ex b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 3)
+            SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+                   round(inter / sa.sz, 6) AS containment_a,
+                   round(inter / sb.sz, 6) AS containment_b,
+                   round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+        """,
         "corpus_diversity": """
             WITH toks AS MATERIALIZED (
                 SELECT lang AS grp,

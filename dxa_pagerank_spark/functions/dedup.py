@@ -520,3 +520,72 @@ def simhash_near_dup_pairs(
             F.col("sig_a").bitwiseXOR(F.col("sig_b"))
         ).alias("hamming"),
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def containment_pairs(
+    documents: DataFrame,
+    n: int = 3,
+    min_common: int = 3,
+    max_gram_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Broder CONTAINMENT (asymmetric near-dup: c(A in B) =
+    |S_A ∩ S_B| / |S_A|) for every doc pair sharing >= min_common
+    shingles — catches quotation/subset relations (a small doc embedded
+    in a big one) that symmetric Jaccard scores near 0 and minhash LSH
+    therefore cannot recall. -> (doc_a, doc_b, inter, sz_a, sz_b,
+    containment_a, containment_b, jaccard), doc_a < doc_b.
+
+    Pairs come from the shingle inverted-index self-join. With
+    max_gram_df set, shingles occurring in more than that many docs
+    are dropped FIRST (the standard stop-shingle cap: per-gram join
+    fan-out is bounded by max_gram_df^2, so one boilerplate gram can
+    never go quadratic); sizes and intersections are then both over
+    the capped sets — self-consistent semantics the SQL oracle mirrors
+    with one HAVING. min_common bounds the pair set to docs with real
+    overlap."""
+    sh = shingles(documents, id_col, text_col, n)
+    if max_gram_df is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_gram_df)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh", "left_semi")
+    sh = sh.localCheckpoint(eager=True)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        sa.join(sb, "sh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(F.col("inter") >= min_common)
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "sz_a",
+            "sz_b",
+            F.round(F.col("inter") / F.col("sz_a"), 6).alias(
+                "containment_a"
+            ),
+            F.round(F.col("inter") / F.col("sz_b"), 6).alias(
+                "containment_b"
+            ),
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

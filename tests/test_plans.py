@@ -401,3 +401,29 @@ def test_salsa_betweenness_kmeans_bpe_plans(spark):
     pb = _plan(apply_bpe(docs, [("a", "b")]))
     assert "Join" not in pb and "Exchange" not in pb
     assert "BatchEvalPython" not in pb
+
+
+def test_r03_late_additions_plans(spark):
+    """TextRank, CDC, containment, diversity stay JVM-only with no
+    cartesian joins; the only nested-loop join anywhere is a broadcast
+    1-row scalar attach (none of these four use one)."""
+    from dxa_pagerank_spark.functions.cdc import cdc_dedup_stats
+    from dxa_pagerank_spark.functions.dedup import containment_pairs
+    from dxa_pagerank_spark.functions.terms import diversity_report
+    from dxa_pagerank_spark.functions.textrank import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [(0, "en", "a b c d e a b"), (1, "en", "a b c x y")],
+        "doc_id long, lang string, text string",
+    )
+    for df in (
+        textrank_keywords(docs, window=2, rounds=2, top_k=5),
+        cdc_dedup_stats(docs, width=2, divisor=4),
+        containment_pairs(docs, n=2, min_common=1, max_gram_df=10),
+        diversity_report(docs, n=2),
+    ):
+        p = _plan(df)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "BatchEvalPython" not in p
+        assert "ArrowEvalPython" not in p

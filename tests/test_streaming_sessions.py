@@ -107,16 +107,19 @@ def test_stream_sessions_equal_batch(spark, tmp_path):
             ).write.mode("overwrite").parquet(
                 str(tmp_path / f"sentinel{i}")
             )
-            shutil.copy(
-                str(tmp_path / f"sentinel{i}")
-                + "/"
-                + [
-                    f
-                    for f in os.listdir(str(tmp_path / f"sentinel{i}"))
-                    if f.endswith(".parquet")
-                ][0],
-                os.path.join(src, f"part-00{i + 1}.parquet"),
-            )
+            part = [
+                f
+                for f in os.listdir(str(tmp_path / f"sentinel{i}"))
+                if f.endswith(".parquet")
+            ][0]
+            # stage OUTSIDE the watched dir, then rename (atomic on the
+            # same fs): a plain copy into src can be listed and read
+            # half-written by FileStreamSource under IO load, and a
+            # once-read file is never re-read — the sentinel silently
+            # vanishes and the last session's timeout never fires
+            staged = str(tmp_path / f"staged{i}.parquet")
+            shutil.copy(str(tmp_path / f"sentinel{i}") + "/" + part, staged)
+            os.rename(staged, os.path.join(src, f"part-00{i + 1}.parquet"))
             q.processAllAvailable()
     finally:
         q.stop()

@@ -438,6 +438,22 @@ def _emb_double(spark, sf_dir):
     )
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (functions/clustering.py pq_train/
+    pq_encode/pq_topk — Jégou et al. TPAMI'11): m=4 subspaces, k=8
+    codes each, deterministic-Lloyd codebooks; ADC top-10 for the
+    first 5 vectors as queries. The oracle replays each subspace's
+    Lloyd chain and the subspace-ordered ADC sum."""
+    from dxa_pagerank_spark.functions.clustering import pq_topk, pq_train
+
+    emb = _emb_double(spark, sf_dir)
+    books = pq_train(emb, m=4, k=8, iters=2)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, books, k=10)
+
+
 def q_bpe_merges(spark, sf_dir):
     """BPE tokenizer TRAINING (functions/bpe.py): 8 merges learned
     from the documents corpus (count desc, lexicographic ties). The
@@ -2138,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": q_cdc_dedup,
         "corpus_diversity": q_corpus_diversity,
         "containment_pairs": q_containment_pairs,
+        "pq_topk": q_pq_topk,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hits_5rounds": q_hits_5rounds,
@@ -3354,53 +3371,116 @@ def _bpe_cte_sql(rounds: int = 8) -> str:
     return ",\n".join(parts) + "\n"
 
 
-def _kmeans_cte_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+def _kmeans_dist_sql(e_v: str, c_cent: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({e_v}, {c_cent}),"
+        f" p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+
+
+def _kmeans_cte_sql(
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    prefix: str = "",
+    vexpr: str = "list_transform(embedding, x -> x::DOUBLE)",
+    with_kw: bool = True,
+) -> str:
     """CTE chain replaying functions/clustering.py's deterministic
     k-means: arithmetic init (c0), per-iteration argmin assignment
     (row_number over (dist, cluster)) and element-wise mean update with
-    empty-cluster carry (coalesce), final assignment `af(vec_id,
-    cluster)` against c{iters}. Distance = index-ordered sum of squared
-    diffs, the same fold the engine computes."""
-
-    def dist(e_v: str, c_cent: str) -> str:
-        return (
-            f"list_sum(list_transform(list_zip({e_v}, {c_cent}),"
-            f" p -> (p[1] - p[2]) * (p[1] - p[2])))"
-        )
-
+    empty-cluster carry (coalesce), final assignment `{prefix}af(vec_id,
+    cluster)` against {prefix}c{iters}. Distance = index-ordered sum of
+    squared diffs, the same fold the engine computes. `prefix`/`vexpr`
+    let the PQ oracle run one chain per subspace over vector slices."""
+    dist = _kmeans_dist_sql
+    p = prefix
+    head = "WITH " if with_kw else ""
     parts = [
-        "WITH emb AS MATERIALIZED (SELECT vec_id,"
-        " list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)",
-        f"nst AS (SELECT greatest(count(*) // {k}, 1) AS stride FROM emb)",
-        f"c0 AS MATERIALIZED ("
+        f"{head}{p}emb AS MATERIALIZED (SELECT vec_id,"
+        f" {vexpr} AS v FROM embeddings)",
+        f"{p}nst AS (SELECT greatest(count(*) // {k}, 1) AS stride"
+        f" FROM {p}emb)",
+        f"{p}c0 AS MATERIALIZED ("
         f" SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cent"
-        f" FROM emb WHERE vec_id % (SELECT stride FROM nst) = 0"
-        f" AND vec_id < (SELECT stride FROM nst) * {k})",
+        f" FROM {p}emb WHERE vec_id % (SELECT stride FROM {p}nst) = 0"
+        f" AND vec_id < (SELECT stride FROM {p}nst) * {k})",
     ]
     for i in range(1, iters + 1):
         parts += [
-            f"a{i} AS MATERIALIZED (SELECT vec_id, cluster FROM ("
+            f"{p}a{i} AS MATERIALIZED (SELECT vec_id, cluster FROM ("
             f" SELECT e.vec_id, c.cluster, row_number() OVER ("
             f" PARTITION BY e.vec_id ORDER BY {dist('e.v', 'c.cent')} ASC,"
-            f" c.cluster ASC) AS rn FROM emb e CROSS JOIN c{i - 1} c) t"
+            f" c.cluster ASC) AS rn FROM {p}emb e CROSS JOIN {p}c{i - 1} c) t"
             f" WHERE rn = 1)",
-            f"c{i} AS MATERIALIZED (SELECT c.cluster,"
-            f" coalesce(n.cent, c.cent) AS cent FROM c{i - 1} c LEFT JOIN ("
+            f"{p}c{i} AS MATERIALIZED (SELECT c.cluster,"
+            f" coalesce(n.cent, c.cent) AS cent FROM {p}c{i - 1} c LEFT JOIN ("
             f" SELECT cluster, list(m ORDER BY pos) AS cent FROM ("
             f" SELECT a.cluster, t.i AS pos, avg(e.v[t.i]) AS m"
-            f" FROM a{i} a JOIN emb e USING (vec_id),"
+            f" FROM {p}a{i} a JOIN {p}emb e USING (vec_id),"
             f" unnest(generate_series(1, {dim})) t(i)"
             f" GROUP BY a.cluster, t.i) s GROUP BY cluster) n"
             f" ON n.cluster = c.cluster)",
         ]
     parts.append(
-        f"af AS MATERIALIZED (SELECT vec_id, cluster FROM ("
+        f"{p}af AS MATERIALIZED (SELECT vec_id, cluster FROM ("
         f" SELECT e.vec_id, c.cluster, row_number() OVER ("
         f" PARTITION BY e.vec_id ORDER BY {dist('e.v', 'c.cent')} ASC,"
-        f" c.cluster ASC) AS rn FROM emb e CROSS JOIN c{iters} c) t"
+        f" c.cluster ASC) AS rn FROM {p}emb e CROSS JOIN {p}c{iters} c) t"
         f" WHERE rn = 1)"
     )
     return ",\n".join(parts) + "\n"
+
+
+def _pq_sql(
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    topk: int = 10,
+    n_queries: int = 5,
+) -> str:
+    """Replay of q_pq_topk: one deterministic-Lloyd chain per subspace
+    (prefixed _kmeans_cte_sql over the vector slice), then ADC = the
+    per-subspace squared distances between the raw query slice and the
+    assigned centroid, added in subspace order (the engine's float
+    association), ranked per query on the 6-dp value."""
+    d_sub = dim // m
+    chains = []
+    joins = []
+    terms = []
+    for s in range(m):
+        lo, hi = s * d_sub + 1, (s + 1) * d_sub
+        vexpr = f"list_transform(embedding, x -> x::DOUBLE)[{lo}:{hi}]"
+        chains.append(
+            _kmeans_cte_sql(
+                k, iters, d_sub, prefix=f"s{s}_", vexpr=vexpr,
+                with_kw=(s == 0),
+            ).rstrip()
+        )
+        joins.append(
+            f"JOIN s{s}_af a{s} ON a{s}.vec_id = e.vec_id"
+            f" JOIN s{s}_c{iters} cb{s} ON cb{s}.cluster = a{s}.cluster"
+        )
+        terms.append(_kmeans_dist_sql(f"q.v[{lo}:{hi}]", f"cb{s}.cent"))
+    return (
+        ",\n".join(chains)
+        + f""",
+    qrys AS (SELECT vec_id AS query_id,
+                    list_transform(embedding, x -> x::DOUBLE) AS v
+             FROM embeddings WHERE vec_id < {n_queries}),
+    allv AS (SELECT vec_id FROM embeddings),
+    d AS (
+        SELECT q.query_id, e.vec_id,
+               round({" + ".join(terms)}, 6) AS adc_dist
+        FROM qrys q CROSS JOIN allv e
+        {" ".join(joins)})
+    SELECT query_id, vec_id, adc_dist FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY adc_dist ASC, vec_id ASC) AS rn FROM d)
+    WHERE rn <= {topk}
+    """
+    )
 
 
 _KMEANS_SQL = _kmeans_cte_sql() + "SELECT vec_id, cluster FROM af"
@@ -4770,6 +4850,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup_stats": _SUBSTRING_STATS_SQL,
         "bm25_topk": _BM25_SQL,
         "kmeans_clusters": _KMEANS_SQL,
+        "pq_topk": _pq_sql(m=4, k=8, iters=2, dim=64, topk=10, n_queries=5),
         "semdedup_prune": _SEMDEDUP_SQL,
         "bpe_merges": _bpe_cte_sql(8)
         + " UNION ALL ".join(

@@ -181,3 +181,122 @@ def semdedup(
     ).select(
         "id", "cluster", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
     )
+
+
+def _sq_dist_cols(a, b):
+    """Index-ordered fold of Σ (a[i] - b[i])² between two array
+    columns (same association as _sq_dist, SQL-replayable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou, Douze & Schmid, TPAMI
+    2011): split the vector into m contiguous subspaces and train an
+    independent k-centroid deterministic Lloyd codebook per subspace
+    (kmeans_assign's exact contract, so the whole model is a
+    closed-form function of the data and the SQL oracle replays it).
+    Memory story at 100 TB: each vector compresses to m small codes
+    (m bytes at k<=256) + one shared m*k*d_sub codebook literal."""
+    first = emb.select(vec_col).first()
+    dim = len(first[vec_col])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d_sub = dim // m
+    books = []
+    for s in range(m):
+        sub = emb.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * d_sub + 1, d_sub).alias(
+                "embedding"
+            ),
+        )
+        _, cents = kmeans_assign(sub, k=k, iters=iters)
+        books.append(cents)
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (id, code_0..code_{m-1}): per-subspace argmin centroid codes
+    — a PURE projection against the codebook literals (the corpus is
+    scanned, never shuffled)."""
+    m = len(books)
+    d_sub = len(books[0][0])
+    return emb.select(
+        F.col(id_col).alias("id"),
+        *[
+            _assign_col(
+                F.slice(F.col(vec_col), s * d_sub + 1, d_sub), books[s]
+            ).alias(f"code_{s}")
+            for s in range(m)
+        ],
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """-> (query_id, vec_id, adc_dist): top-k by asymmetric distance
+    computation — exact distance from the raw query to each vector's
+    RECONSTRUCTION (per-subspace centroid), summed subspace-by-
+    subspace in subspace order so the float association is identical
+    in SQL. The query side broadcasts (queries are small next to the
+    corpus); top-k is a per-query rank window with the cut pushed to
+    WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    m = len(books)
+    d_sub = len(books[0][0])
+    codes = pq_encode(emb, books, id_col, vec_col)
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+    )
+    joined = codes.crossJoin(F.broadcast(q))
+    dist = None
+    for s in range(m):
+        cents = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in c])
+                for c in books[s]
+            ]
+        )
+        d_s = _sq_dist_cols(
+            F.slice(F.col("qv"), s * d_sub + 1, d_sub),
+            F.element_at(cents, F.col(f"code_{s}") + 1),
+        )
+        dist = d_s if dist is None else dist + d_s
+    ranked = joined.select(
+        "query_id",
+        F.col("id").alias("vec_id"),
+        F.round(dist, 6).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("vec_id")
+    )
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

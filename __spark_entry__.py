@@ -454,6 +454,18 @@ def q_pq_topk(spark, sf_dir):
     return pq_topk(emb, queries, books, k=10)
 
 
+def q_jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss sketch of the embedding table
+    (functions/projection.py, Achlioptas ±1 form): 64 -> 8 dims with
+    the arithmetic sign hash, exploded to (vec_id, dim, value). The
+    oracle replays the sign law and the ascending-index fold."""
+    from dxa_pagerank_spark.functions.projection import jl_project
+
+    return jl_project(
+        _emb_double(spark, sf_dir), out_dim=8, seed=7
+    ).withColumnRenamed("id", "vec_id")
+
+
 def q_bpe_merges(spark, sf_dir):
     """BPE tokenizer TRAINING (functions/bpe.py): 8 merges learned
     from the documents corpus (count desc, lexicographic ties). The
@@ -2155,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diversity": q_corpus_diversity,
         "containment_pairs": q_containment_pairs,
         "pq_topk": q_pq_topk,
+        "jl_projection": q_jl_projection,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hits_5rounds": q_hits_5rounds,
@@ -3430,6 +3443,28 @@ def _kmeans_cte_sql(
         f" WHERE rn = 1)"
     )
     return ",\n".join(parts) + "\n"
+
+
+def _jl_sql(out_dim: int = 8, seed: int = 7, in_dim: int = 64) -> str:
+    """Replay of q_jl_projection: the arithmetic ±1 sign law and the
+    ascending-index fold of functions/projection.py."""
+    b = 12345 + seed
+    sign = (
+        f"CASE WHEN ((1103515245 * ((i * 2654435761 + d.dim + {b})"
+        f" % 2147483647)) % 2147483647) % 2 = 0"
+        f" THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END"
+    )
+    return f"""
+    WITH emb AS MATERIALIZED (SELECT vec_id,
+            list_transform(embedding, x -> x::DOUBLE) AS v
+        FROM embeddings),
+    dims AS (SELECT unnest(range(0, {out_dim})) AS dim)
+    SELECT e.vec_id, d.dim,
+           round(list_sum(list_transform(range(0, {in_dim}),
+                     i -> e.v[i + 1] * ({sign})))
+                 / sqrt({out_dim}), 6) AS value
+    FROM emb e CROSS JOIN dims d
+    """
 
 
 def _pq_sql(
@@ -4851,6 +4886,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": _BM25_SQL,
         "kmeans_clusters": _KMEANS_SQL,
         "pq_topk": _pq_sql(m=4, k=8, iters=2, dim=64, topk=10, n_queries=5),
+        "jl_projection": _jl_sql(out_dim=8, seed=7, in_dim=64),
         "semdedup_prune": _SEMDEDUP_SQL,
         "bpe_merges": _bpe_cte_sql(8)
         + " UNION ALL ".join(

@@ -1526,6 +1526,22 @@ def q_rank_fusion(spark, sf_dir):
     return rrf_fuse(signals, k=60, top_m=100, n_out=20)
 
 
+def q_component_histogram(spark, sf_dir):
+    """Component size distribution (size -> number of components) over
+    the lineitem-projection graph — the classic web-graph giant-
+    component report (Broder et al. WWW'00 fig. 9 shape), two
+    aggregates over the CC labels. Oracle wraps the cold-CC closure."""
+    from dxa_pagerank_spark.operators.components import connected_components
+
+    cc = connected_components(spark, _edges(spark, sf_dir))
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_components"))
+    )
+
+
 def q_benchmark_contamination(spark, sf_dir):
     """Span-level benchmark decontamination audit (GPT-3 13-gram
     collision filter at span granularity — functions/spandedup.py
@@ -2168,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment_pairs,
         "pq_topk": q_pq_topk,
         "jl_projection": q_jl_projection,
+        "component_histogram": q_component_histogram,
         "corpus_curation": q_corpus_curation,
         "stratified_sample": q_stratified_sample,
         "hits_5rounds": q_hits_5rounds,
@@ -4750,6 +4767,13 @@ def oracle_sql() -> dict[str, str]:
              ORDER BY round(rank, 6) DESC, id LIMIT 20""",
         "connected_components": _CC_COLD_SQL,
         "incremental_components": _CC_COLD_SQL,
+        "component_histogram": f"""
+            WITH base AS ({_CC_COLD_SQL})
+            SELECT size, count(*) AS n_components FROM (
+                SELECT component, count(*) AS size FROM base
+                GROUP BY component)
+            GROUP BY size
+        """,
         "cc_one_round": f"""
             WITH edges AS ({_EDGES_SQL}),
             verts AS (SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges),

@@ -2091,85 +2091,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     verified locally by scripts/check_contract.py regardless of
     driver budget."""
     return {
-        # -- (1) no driver row yet (round-3 additions; driver checks a
-        #        prefix of this dict, so never-verified queries lead) --
-        "web_link_prediction": q_web_link_prediction,
-        "web_effective_diameter": q_web_effective_diameter,
-        "quality_classifier": q_quality_classifier,
-        "lm_quality_buckets": q_lm_quality_buckets,
-        "web_katz": q_web_katz,
-        "web_harmonic": q_web_harmonic,
-        "web_neighborhood": q_web_neighborhood,
-        "web_spam_mass": q_web_spam_mass,
-        "web_salsa": q_web_salsa,
-        "site_betweenness": q_site_betweenness,
-        "site_sssp": q_site_sssp,
-        "k_truss_4": q_k_truss_4,
-        "sequence_packing": q_sequence_packing,
-        "packing_report": q_packing_report,
-        "dsir_sample": q_dsir_sample,
-        "web_boilerplate_lines": q_web_boilerplate_lines,
-        "web_line_dedup": q_web_line_dedup,
-        "repetition_stats": q_repetition_stats,
-        "pii_masked": q_pii_masked,
-        "quality_weighted_sample": q_quality_weighted_sample,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "bucketed_gather": q_bucketed_gather,
-        "url_canonical": q_url_canonical,
-        "latest_snapshots": q_latest_snapshots,
-        "training_mix_report": q_training_mix_report,
-        "first_seen_dedup": q_first_seen_dedup,
-        "lm_quality": q_lm_quality,
-        "decontamination": q_decontamination,
-        "doc_length_quantiles": q_doc_length_quantiles,
-        "substring_dup_spans": q_substring_dup_spans,
-        "substring_dedup_stats": q_substring_dedup_stats,
-        "bm25_topk": q_bm25_topk,
-        "pagerank_resume_4rounds": q_pagerank_resume_4rounds,
-        "image_decode_stats": q_image_decode_stats,
-        "audio_decode_stats": q_audio_decode_stats,
-        "kmeans_clusters": q_kmeans_clusters,
-        "semdedup_prune": q_semdedup_prune,
-        "bpe_merges": q_bpe_merges,
-        "bpe_token_counts": q_bpe_token_counts,
-        "embedding_near_dup": q_embedding_near_dup,
+        # -- (1) no driver row yet (round-3 additions; the driver
+        #        checks a prefix under a budget, so never-verified
+        #        queries lead, cheapest first to maximize coverage) --
         "token_counts": q_token_counts,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "media_features": q_media_features,
-        "frame_samples": q_frame_samples,
-        "walk_skipgrams": q_walk_skipgrams,
-        "web_triad_census": q_web_triad_census,
-        "lpa_modularity": q_lpa_modularity,
+        "pii_masked": q_pii_masked,
+        "doc_length_quantiles": q_doc_length_quantiles,
+        "url_canonical": q_url_canonical,
+        "first_seen_dedup": q_first_seen_dedup,
+        "audio_decode_stats": q_audio_decode_stats,
         "temperature_mix": q_temperature_mix,
-        "vocab_overlap": q_vocab_overlap,
-        "degree_skew": q_degree_skew,
-        "web_mis": q_web_mis,
-        "site_coloring": q_site_coloring,
-        "trending_terms": q_trending_terms,
-        "table_profile": q_table_profile,
-        "feature_smoothing": q_feature_smoothing,
-        "crawl_delta": q_crawl_delta,
-        "topic_pagerank": q_topic_pagerank,
-        "site_coreness": q_site_coreness,
-        "anchor_expanded_docs": q_anchor_expanded_docs,
-        "site_mst": q_site_mst,
         "lang_confusion": q_lang_confusion,
-        "blended_topic_rank": q_blended_topic_rank,
-        "incremental_pagerank": q_incremental_pagerank,
-        "incremental_components": q_incremental_components,
+        "quality_weighted_sample": q_quality_weighted_sample,
+        "image_decode_stats": q_image_decode_stats,
+        "media_features": q_media_features,
+        "crawl_delta": q_crawl_delta,
+        "vocab_overlap": q_vocab_overlap,
+        "decontamination": q_decontamination,
+        "latest_snapshots": q_latest_snapshots,
+        "lm_quality": q_lm_quality,
+        "trending_terms": q_trending_terms,
+        "web_boilerplate_lines": q_web_boilerplate_lines,
+        "repetition_stats": q_repetition_stats,
+        "substring_dedup_stats": q_substring_dedup_stats,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "benchmark_contamination": q_benchmark_contamination,
-        "rank_fusion": q_rank_fusion,
-        "powerlaw_alpha": q_powerlaw_alpha,
-        "bigram_lm": q_bigram_lm,
-        "crawl_schedule": q_crawl_schedule,
+        "sequence_packing": q_sequence_packing,
+        "substring_dup_spans": q_substring_dup_spans,
+        "frame_samples": q_frame_samples,
+        "web_line_dedup": q_web_line_dedup,
+        "table_profile": q_table_profile,
         "redirect_resolution": q_redirect_resolution,
-        "textrank_keywords": q_textrank_keywords,
-        "cdc_dedup": q_cdc_dedup,
-        "corpus_diversity": q_corpus_diversity,
         "containment_pairs": q_containment_pairs,
-        "pq_topk": q_pq_topk,
+        "bm25_topk": q_bm25_topk,
+        "anchor_expanded_docs": q_anchor_expanded_docs,
+        "bigram_lm": q_bigram_lm,
+        "packing_report": q_packing_report,
+        "training_mix_report": q_training_mix_report,
+        "corpus_diversity": q_corpus_diversity,
+        "powerlaw_alpha": q_powerlaw_alpha,
+        "cdc_dedup": q_cdc_dedup,
+        "bucketed_gather": q_bucketed_gather,
+        "bpe_token_counts": q_bpe_token_counts,
+        "feature_smoothing": q_feature_smoothing,
+        "dsir_sample": q_dsir_sample,
+        "kmeans_clusters": q_kmeans_clusters,
+        "bpe_merges": q_bpe_merges,
+        "embedding_near_dup": q_embedding_near_dup,
+        "degree_skew": q_degree_skew,
+        "web_triad_census": q_web_triad_census,
+        "lm_quality_buckets": q_lm_quality_buckets,
+        "quality_classifier": q_quality_classifier,
+        "semdedup_prune": q_semdedup_prune,
+        "textrank_keywords": q_textrank_keywords,
+        "web_neighborhood": q_web_neighborhood,
+        "walk_skipgrams": q_walk_skipgrams,
+        "blended_topic_rank": q_blended_topic_rank,
+        "web_harmonic": q_web_harmonic,
+        "topic_pagerank": q_topic_pagerank,
+        "web_mis": q_web_mis,
+        "web_katz": q_web_katz,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "site_sssp": q_site_sssp,
+        "site_betweenness": q_site_betweenness,
+        "site_coloring": q_site_coloring,
+        "web_effective_diameter": q_web_effective_diameter,
+        "k_truss_4": q_k_truss_4,
+        "site_coreness": q_site_coreness,
+        "pagerank_resume_4rounds": q_pagerank_resume_4rounds,
         "jl_projection": q_jl_projection,
+        "incremental_components": q_incremental_components,
+        "lpa_modularity": q_lpa_modularity,
+        "site_mst": q_site_mst,
+        "incremental_pagerank": q_incremental_pagerank,
+        "pq_topk": q_pq_topk,
+        "web_salsa": q_web_salsa,
+        "web_spam_mass": q_web_spam_mass,
+        "web_link_prediction": q_web_link_prediction,
         "component_histogram": q_component_histogram,
+        "crawl_schedule": q_crawl_schedule,
+        "rank_fusion": q_rank_fusion,
         # -- (2) driver-checked green in r02 ---------------------------
         "web_pagerank": q_web_pagerank,
         "web_page_text": q_web_page_text,

@@ -84,53 +84,67 @@ def test_stream_sessions_equal_batch(spark, tmp_path):
         )
         .start()
     )
-    try:
-        q.processAllAvailable()
-        # sentinel events (dummy user, far future) push the watermark
-        # past every real session's last_ts + gap; two files so the
-        # second microbatch runs with the advanced watermark and fires
-        # the event-time timeouts.
-        max_ts = ev_batch.agg(F.max("ts")).collect()[0][0]
-        for i in range(2):
-            spark.createDataFrame(
-                [
-                    (
-                        10_000_000 + i,
-                        max_ts + __import__("datetime").timedelta(days=2 + i),
-                        SENTINEL_USER,
-                        "sentinel",
-                        0.0,
-                        "{}",
-                    )
-                ],
-                schema_ddl,
-            ).write.mode("overwrite").parquet(
-                str(tmp_path / f"sentinel{i}")
-            )
-            part = [
-                f
-                for f in os.listdir(str(tmp_path / f"sentinel{i}"))
-                if f.endswith(".parquet")
-            ][0]
-            # stage OUTSIDE the watched dir, then rename (atomic on the
-            # same fs): a plain copy into src can be listed and read
-            # half-written by FileStreamSource under IO load, and a
-            # once-read file is never re-read — the sentinel silently
-            # vanishes and the last session's timeout never fires
-            staged = str(tmp_path / f"staged{i}.parquet")
-            shutil.copy(str(tmp_path / f"sentinel{i}") + "/" + part, staged)
-            os.rename(staged, os.path.join(src, f"part-00{i + 1}.parquet"))
-            q.processAllAvailable()
-    finally:
-        q.stop()
+    def _got():
+        return {
+            (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+            for r in spark.sql(f"SELECT * FROM {out_name}").collect()
+            if r["user_id"] != SENTINEL_USER
+        }
 
-    got = {
-        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
-        for r in spark.sql(f"SELECT * FROM {out_name}").collect()
-        if r["user_id"] != SENTINEL_USER
-    }
     exp = {
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
         for r in sessionize_batch(ev_batch).collect()
     }
-    assert got == exp
+
+    def _send_sentinel(i):
+        # sentinel events (dummy user, far future) push the watermark
+        # past every real session's last_ts + gap; each file is its
+        # own microbatch (maxFilesPerTrigger=1), and timeouts fire in
+        # the FOLLOWING batch, so at least two advances are needed.
+        spark.createDataFrame(
+            [
+                (
+                    10_000_000 + i,
+                    max_ts + __import__("datetime").timedelta(days=2 + i),
+                    SENTINEL_USER,
+                    "sentinel",
+                    0.0,
+                    "{}",
+                )
+            ],
+            schema_ddl,
+        ).write.mode("overwrite").parquet(str(tmp_path / f"sentinel{i}"))
+        part = [
+            f
+            for f in os.listdir(str(tmp_path / f"sentinel{i}"))
+            if f.endswith(".parquet")
+        ][0]
+        # stage OUTSIDE the watched dir, then rename (atomic on the
+        # same fs): a plain copy into src can be listed and read
+        # half-written by FileStreamSource under IO load, and a
+        # once-read file is never re-read
+        staged = str(tmp_path / f"staged{i}.parquet")
+        shutil.copy(str(tmp_path / f"sentinel{i}") + "/" + part, staged)
+        os.rename(staged, os.path.join(src, f"part-00{i + 1}.parquet"))
+        q.processAllAvailable()
+
+    try:
+        q.processAllAvailable()
+        max_ts = ev_batch.agg(F.max("ts")).collect()[0][0]
+        _send_sentinel(0)
+        _send_sentinel(1)
+        # under heavy host load a watermark-advance batch is
+        # occasionally absorbed without firing the last timeouts
+        # (observed twice in loaded full-suite runs, never isolated);
+        # the semantics under test are stream==batch, not the sentinel
+        # count, so keep advancing — bounded — until the tail session
+        # closes. A real divergence still fails below after 6 tries.
+        for i in range(2, 8):
+            if _got() == exp:
+                break
+            time.sleep(1)
+            _send_sentinel(i)
+    finally:
+        q.stop()
+
+    assert _got() == exp

@@ -9,9 +9,14 @@ is the north_rule LLM-pipeline surface, each stage an audited operator:
   2. url canonicalize — optional, adds canonical_url (functions/urlnorm)
   3. line dedup       — drop corpus-boilerplate lines (functions/boilerplate)
   4. exact dedup      — min-id per content hash  (functions/dedup)
+  4b. CDC dedup gate  — optional --max-dup-frac: drop docs whose
+                        content-defined chunks are mostly shared
+                        corpus-wide (functions/cdc)
   5. repetition gates — Gopher 2-/3-gram filters (functions/repetition)
   6. quality floor    — composite score          (functions/textstats)
-  7. decontamination  — optional benchmark n-gram overlap (functions/lmscore)
+  7. decontamination  — optional benchmark overlap: any-n-gram doc drop
+                        (functions/lmscore) or, with --span-contam-frac,
+                        the span-level fraction gate (functions/spandedup)
   8. weighted sample  — keep-prob = quality^power (functions/sampling)
 
 Usage:
@@ -76,6 +81,25 @@ def run_pipeline(spark, df, args):
     df = exact_dedup(df)
     funnel["exact_dedup"] = df.count()
 
+    # optional CDC near-dup gate: drop docs whose content-defined
+    # chunks are mostly shared corpus-wide (functions/cdc.py) —
+    # catches partially-duplicated pages exact dedup keeps
+    max_dup_frac = getattr(args, "max_dup_frac", None)
+    if max_dup_frac is not None:
+        from dxa_pagerank_spark.functions.cdc import cdc_dedup_stats
+
+        dup = cdc_dedup_stats(df.select("doc_id", "text")).select(
+            F.col("id").alias("doc_id"), "dup_token_frac"
+        )
+        df = (
+            df.join(dup, "doc_id", "left")
+            .filter(
+                F.coalesce("dup_token_frac", F.lit(0.0)) <= max_dup_frac
+            )
+            .drop("dup_token_frac")
+        )
+        funnel["cdc_dedup"] = df.count()
+
     df = repetition_filter(df, id_col="doc_id")
     funnel["repetition"] = df.count()
 
@@ -85,10 +109,30 @@ def run_pipeline(spark, df, args):
     funnel["quality_floor"] = df.count()
 
     if args.benchmark:
-        from dxa_pagerank_spark.functions.lmscore import decontaminate
-
         bench = spark.read.parquet(args.benchmark)
-        df = decontaminate(df, bench, n=args.ngram, id_col="doc_id")
+        span_frac = getattr(args, "span_contam_frac", None)
+        if span_frac is not None:
+            # span-level gate: tolerate incidental overlap up to the
+            # fraction threshold instead of dropping any doc sharing a
+            # single n-gram (functions/spandedup.py)
+            from dxa_pagerank_spark.functions.spandedup import (
+                contamination_stats,
+            )
+
+            st = contamination_stats(
+                df.select("doc_id", "text"), bench, width=args.ngram
+            ).select(F.col("id").alias("doc_id"), "contaminated_frac")
+            df = (
+                df.join(st, "doc_id", "left")
+                .filter(
+                    F.coalesce("contaminated_frac", F.lit(0.0)) <= span_frac
+                )
+                .drop("contaminated_frac")
+            )
+        else:
+            from dxa_pagerank_spark.functions.lmscore import decontaminate
+
+            df = decontaminate(df, bench, n=args.ngram, id_col="doc_id")
         funnel["decontamination"] = df.count()
 
     df = weighted_sample(
@@ -113,6 +157,11 @@ def main(argv: list[str] | None = None) -> None:
                     help="parquet of benchmark docs for decontamination")
     ap.add_argument("--ngram", type=int, default=3)
     ap.add_argument("--salt", type=int, default=5)
+    ap.add_argument("--max-dup-frac", type=float, default=None,
+                    help="drop docs whose CDC dup-token fraction exceeds F")
+    ap.add_argument("--span-contam-frac", type=float, default=None,
+                    help="with --benchmark: span-level contamination gate"
+                         " instead of the any-n-gram doc drop")
     args = ap.parse_args(argv)
 
     from dxa_pagerank_spark.session import get_spark

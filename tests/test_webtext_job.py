@@ -71,3 +71,35 @@ def test_cli_writes_corpus_and_report(tmp_path):
     rep = json.load(open(os.path.join(out, "report.json")))
     assert rep["sampled"] <= rep["input"]
     assert os.path.isdir(os.path.join(out, "corpus"))
+
+
+def test_documents_mode_cdc_and_span_gates(spark, tmp_path):
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    import webtext_job
+
+    df = spark.read.parquet(DOCS)
+    bench_path = str(tmp_path / "bench")
+    df.filter(F.col("doc_id") < 2).select("doc_id", "text").write.parquet(
+        bench_path
+    )
+    args = webtext_job.argparse.Namespace(
+        mode="documents", boiler_frac=0.5, min_quality=0.0,
+        sample_power=1, benchmark=bench_path, ngram=3, salt=5,
+        max_dup_frac=0.9, span_contam_frac=0.2,
+    )
+    curated, funnel = webtext_job.run_pipeline(spark, df, args)
+    assert funnel["cdc_dedup"] <= funnel["exact_dedup"]
+    assert funnel["decontamination"] <= funnel["quality_floor"]
+    # span gate keeps lightly-overlapping docs the any-n-gram drop
+    # would kill, but must still drop the benchmark docs themselves
+    # (verbatim copies = 100% contaminated)
+    kept = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert 0 not in kept and 1 not in kept
+
+    strict = webtext_job.argparse.Namespace(
+        mode="documents", boiler_frac=0.5, min_quality=0.0,
+        sample_power=1, benchmark=bench_path, ngram=3, salt=5,
+    )
+    _, strict_funnel = webtext_job.run_pipeline(spark, df, strict)
+    # the fraction gate is never stricter than the any-n-gram drop
+    assert funnel["decontamination"] >= strict_funnel["decontamination"]

@@ -1542,6 +1542,19 @@ def q_component_histogram(spark, sf_dir):
     )
 
 
+def q_rmat_skew(spark, sf_dir):
+    """In-degree skew profile of a deterministic R-MAT graph
+    (datagen.rmat_edges_df, canonical 57/19/19/5 law, 2^10 vertices /
+    8192 edges): the heavy-tail benchmark graph whose skew report
+    justifies the salting/AQE machinery. Generation is a pure integer
+    column program, so the oracle regenerates the identical edges."""
+    from dxa_pagerank_spark.datagen import rmat_edges_df
+    from dxa_pagerank_spark.operators.graphstats import degree_skew_report
+
+    edges = rmat_edges_df(spark, scale=10, n_edges=8192, seed=3)
+    return degree_skew_report(spark, edges, direction="in", top_k=10)
+
+
 def q_benchmark_contamination(spark, sf_dir):
     """Span-level benchmark decontamination audit (GPT-3 13-gram
     collision filter at span granularity — functions/spandedup.py
@@ -2130,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_mix_report": q_training_mix_report,
         "corpus_diversity": q_corpus_diversity,
         "powerlaw_alpha": q_powerlaw_alpha,
+        "rmat_skew": q_rmat_skew,
         "cdc_dedup": q_cdc_dedup,
         "bucketed_gather": q_bucketed_gather,
         "bpe_token_counts": q_bpe_token_counts,
@@ -3460,6 +3474,27 @@ def _kmeans_cte_sql(
         f" WHERE rn = 1)"
     )
     return ",\n".join(parts) + "\n"
+
+
+def _rmat_edges_sql(scale: int, n_edges: int, seed: int) -> str:
+    """SQL regeneration of datagen.rmat_edges_df: the per-level integer
+    quadrant draws unrolled into one arithmetic expression per
+    endpoint."""
+    src_e, dst_e = "0", "0"
+    for level in range(scale):
+        inner = f"((t * 2654435761 + {12345 + seed + level * 40503}) % 2147483647)"
+        h = f"(((1103515245 * {inner}) % 2147483647) % 100)"
+        bit_s = f"(CASE WHEN {h} >= 76 THEN 1 ELSE 0 END)"
+        bit_d = (
+            f"(CASE WHEN ({h} >= 57 AND {h} < 76) OR {h} >= 95"
+            f" THEN 1 ELSE 0 END)"
+        )
+        src_e = f"({src_e} * 2 + {bit_s})"
+        dst_e = f"({dst_e} * 2 + {bit_d})"
+    return (
+        f"SELECT {src_e} AS src, {dst_e} AS dst"
+        f" FROM (SELECT unnest(range(0, {n_edges})) AS t)"
+    )
 
 
 def _jl_sql(out_dim: int = 8, seed: int = 7, in_dim: int = 64) -> str:
@@ -5202,6 +5237,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "vocab_overlap": _VOCAB_OVERLAP_SQL,
         "degree_skew": _DEGREE_SKEW_SQL.format(web_edges=_WEB_EDGES_SQL),
+        "rmat_skew": _DEGREE_SKEW_SQL.format(
+            web_edges=_rmat_edges_sql(scale=10, n_edges=8192, seed=3)
+        ),
         "web_mis": _mis_rounds_sql(8, _WEB_EDGES_SQL),
         "trending_terms": _TRENDING_TERMS_SQL,
         "table_profile": _table_profile_oracle(),

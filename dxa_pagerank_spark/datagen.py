@@ -118,6 +118,43 @@ def fast_synthetic_edges(
     return key // n, key % n
 
 
+_RMAT_P = 2147483647
+_RMAT_A = 1103515245
+_RMAT_B = 12345
+
+
+def rmat_edges(
+    scale: int, n_edges: int, seed: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic R-MAT graph (Chakrabarti, Zhan & Faloutsos, SDM
+    2004) with the canonical (a,b,c,d) = (0.57, 0.19, 0.19, 0.05)
+    quadrant law — the standard heavy-tail benchmark generator (Graph500
+    uses the same recursive-quadrant construction). 2^scale vertices,
+    `n_edges` directed edges (self-loops kept, duplicates kept: the
+    classic multigraph form; dedupe downstream if wanted).
+
+    Quadrant draws are NOT sampled: draw(t, level) is the same
+    two-stage LCG mix the walk sampler uses, reduced mod 100 and
+    compared against integer thresholds 57/76/95 — a pure integer
+    function of (seed, edge index, level), so any engine (or a SQL
+    oracle) regenerates the identical edge list. Vectorized: one
+    (n_edges,) numpy pass per level, `scale` passes total."""
+    src = np.zeros(n_edges, dtype=np.int64)
+    dst = np.zeros(n_edges, dtype=np.int64)
+    t = np.arange(n_edges, dtype=np.int64)
+    for level in range(scale):
+        inner = (t * np.int64(2654435761) + np.int64(_RMAT_B + seed)
+                 + np.int64(level) * np.int64(40503)) % np.int64(_RMAT_P)
+        h = ((np.int64(_RMAT_A) * inner) % np.int64(_RMAT_P)) % np.int64(100)
+        # quadrants of the adjacency matrix: a=(0,0) h<57, b=(0,1)
+        # 57<=h<76, c=(1,0) 76<=h<95, d=(1,1) h>=95
+        bit_s = (h >= 76).astype(np.int64)                 # rows c, d
+        bit_d = (((h >= 57) & (h < 76)) | (h >= 95)).astype(np.int64)
+        src = (src << 1) | bit_s
+        dst = (dst << 1) | bit_d
+    return src, dst
+
+
 # ---------------------------------------------------------------------------
 # In-edge-list text format (reference graph input, README.md:49-59)
 # ---------------------------------------------------------------------------
@@ -244,3 +281,27 @@ def edges_to_spark(spark, src: np.ndarray, dst: np.ndarray, partitions: int | No
     if partitions:
         df = df.repartition(partitions, "src")
     return df
+
+
+def rmat_edges_df(spark, scale: int, n_edges: int, seed: int = 0):
+    """The same R-MAT law as ``rmat_edges`` built as a pure Spark
+    column program over ``spark.range(n_edges)`` — distributed
+    generation with zero data movement (each partition materializes
+    its own edge range; pinned equal to the numpy form in pytest)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(n_edges).select(F.col("id").alias("t"))
+    src = F.lit(0).cast("long")
+    dst = F.lit(0).cast("long")
+    t = F.col("t")
+    for level in range(scale):
+        inner = (
+            t * F.lit(2654435761)
+            + F.lit(_RMAT_B + seed + level * 40503)
+        ) % F.lit(_RMAT_P)
+        h = ((F.lit(_RMAT_A) * inner) % F.lit(_RMAT_P)) % F.lit(100)
+        bit_s = (h >= 76).cast("long")
+        bit_d = (((h >= 57) & (h < 76)) | (h >= 95)).cast("long")
+        src = src * 2 + bit_s
+        dst = dst * 2 + bit_d
+    return df.select(src.alias("src"), dst.alias("dst"))

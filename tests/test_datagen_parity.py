@@ -137,3 +137,22 @@ def test_distributed_generator_matches(spark):
     got = np.sort(pdf["src"].to_numpy() * n + pdf["dst"].to_numpy())
     want = np.sort(s1 * n + d1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_rmat_spark_matches_numpy(spark):
+    """The Spark column-program R-MAT generator must regenerate the
+    numpy form edge-for-edge, and the degree tail must be heavy."""
+    from collections import Counter
+
+    import numpy as np
+
+    from dxa_pagerank_spark.datagen import rmat_edges, rmat_edges_df
+
+    src, dst = rmat_edges(scale=8, n_edges=2048, seed=3)
+    got = rmat_edges_df(spark, scale=8, n_edges=2048, seed=3).collect()
+    got_pairs = sorted((r["src"], r["dst"]) for r in got)
+    assert got_pairs == sorted(zip(src.tolist(), dst.tolist()))
+    # heavy tail: the max in-degree dwarfs the mean (R-MAT property)
+    deg = Counter(dst.tolist())
+    assert max(deg.values()) > 5 * (len(dst) / len(deg))
+    assert src.max() < 2**8 and dst.max() < 2**8 and src.min() >= 0

@@ -1555,6 +1555,25 @@ def q_rmat_skew(spark, sf_dir):
     return degree_skew_report(spark, edges, direction="in", top_k=10)
 
 
+def q_cm_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch term counting (functions/cmsketch.py,
+    Cormode-Muthukrishnan; width 256, depth 4): point estimates for
+    the corpus's exact top-20 terms next to their true counts — the
+    fixed-memory counting path for vocabularies that no longer fit.
+    Additive cells make the sketch order-independent, so the oracle
+    rebuilds it cell-for-cell."""
+    from dxa_pagerank_spark.functions.cmsketch import cm_estimate
+    from dxa_pagerank_spark.functions.terms import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = tokens(docs).groupBy("term").agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    top = tf.orderBy(F.desc("true_cnt"), F.asc("term")).limit(20)
+    est = cm_estimate(docs, top.select("term"), width=256, depth=4)
+    return top.join(est, "term").select("term", "true_cnt", "est")
+
+
 def q_benchmark_contamination(spark, sf_dir):
     """Span-level benchmark decontamination audit (GPT-3 13-gram
     collision filter at span granularity — functions/spandedup.py
@@ -2144,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diversity": q_corpus_diversity,
         "powerlaw_alpha": q_powerlaw_alpha,
         "rmat_skew": q_rmat_skew,
+        "cm_heavy_hitters": q_cm_heavy_hitters,
         "cdc_dedup": q_cdc_dedup,
         "bucketed_gather": q_bucketed_gather,
         "bpe_token_counts": q_bpe_token_counts,
@@ -5237,6 +5257,37 @@ def oracle_sql() -> dict[str, str]:
         ),
         "vocab_overlap": _VOCAB_OVERLAP_SQL,
         "degree_skew": _DEGREE_SKEW_SQL.format(web_edges=_WEB_EDGES_SQL),
+        "cm_heavy_hitters": """
+            WITH tok AS MATERIALIZED (
+                SELECT unnest(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS term
+                FROM documents),
+            tf AS (SELECT term, count(*) AS true_cnt FROM tok
+                   GROUP BY term),
+            top AS (SELECT term, true_cnt FROM tf
+                    ORDER BY true_cnt DESC, term LIMIT 20),
+            keys AS (SELECT term,
+                            ('0x' || substr(md5(term), 1, 12))::BIGINT AS k
+                     FROM (SELECT DISTINCT term FROM tok)),
+            rws AS (SELECT unnest(range(0, 4)) AS r),
+            occ AS (SELECT k FROM tok JOIN keys USING (term)),
+            sk AS (SELECT rws.r AS row,
+                          ((1103515245 * ((occ.k + 12345 + rws.r * 40503)
+                              % 2147483647)) % 2147483647) % 256 AS col,
+                          count(*) AS cnt
+                   FROM occ CROSS JOIN rws GROUP BY 1, 2),
+            est AS (SELECT t.term,
+                           min(coalesce(sk.cnt, 0)) AS est
+                    FROM top t
+                    JOIN keys USING (term)
+                    CROSS JOIN rws
+                    LEFT JOIN sk ON sk.row = rws.r
+                     AND sk.col = ((1103515245 * ((keys.k + 12345
+                         + rws.r * 40503) % 2147483647)) % 2147483647) % 256
+                    GROUP BY t.term)
+            SELECT t.term, t.true_cnt, e.est
+            FROM top t JOIN est e USING (term)
+        """,
         "rmat_skew": _DEGREE_SKEW_SQL.format(
             web_edges=_rmat_edges_sql(scale=10, n_edges=8192, seed=3)
         ),

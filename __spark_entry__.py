@@ -1574,6 +1574,27 @@ def q_cm_heavy_hitters(spark, sf_dir):
     return top.join(est, "term").select("term", "true_cnt", "est")
 
 
+def q_bloom_blocklist(spark, sf_dir):
+    """Bloom-filter membership gate (functions/bloom.py, m=4096 k=4):
+    the blocklist is the vocabulary of every 31st document, probed
+    with the full corpus vocabulary — the broadcast-membership pattern
+    for blocklists too big to ship as sets. Deterministic bits mean
+    even the false positives reproduce, so the oracle matches
+    exactly."""
+    from dxa_pagerank_spark.functions.bloom import bloom_build, bloom_probe
+    from dxa_pagerank_spark.functions.terms import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    blocked = (
+        tokens(docs.filter(F.col("doc_id") % 31 == 0))
+        .select(F.col("term").alias("key"))
+        .distinct()
+    )
+    vocab = tokens(docs).select(F.col("term").alias("key")).distinct()
+    bits = bloom_build(blocked, m=4096, k=4)
+    return bloom_probe(vocab, bits, m=4096, k=4)
+
+
 def q_benchmark_contamination(spark, sf_dir):
     """Span-level benchmark decontamination audit (GPT-3 13-gram
     collision filter at span granularity — functions/spandedup.py
@@ -2164,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "powerlaw_alpha": q_powerlaw_alpha,
         "rmat_skew": q_rmat_skew,
         "cm_heavy_hitters": q_cm_heavy_hitters,
+        "bloom_blocklist": q_bloom_blocklist,
         "cdc_dedup": q_cdc_dedup,
         "bucketed_gather": q_bucketed_gather,
         "bpe_token_counts": q_bpe_token_counts,
@@ -5257,6 +5279,35 @@ def oracle_sql() -> dict[str, str]:
         ),
         "vocab_overlap": _VOCAB_OVERLAP_SQL,
         "degree_skew": _DEGREE_SKEW_SQL.format(web_edges=_WEB_EDGES_SQL),
+        "bloom_blocklist": """
+            WITH tok AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS term
+                FROM documents),
+            blocked AS (SELECT DISTINCT term FROM tok
+                        WHERE doc_id % 31 = 0),
+            vocab AS (SELECT DISTINCT term FROM tok),
+            rws AS (SELECT unnest(range(0, 4)) AS r),
+            bk AS (SELECT ('0x' || substr(md5(term), 1, 12))::BIGINT AS h
+                   FROM blocked),
+            bits AS (SELECT DISTINCT
+                        ((1103515245 * ((bk.h + 12345 + rws.r * 40503)
+                            % 2147483647)) % 2147483647) % 4096 AS bit
+                     FROM bk CROSS JOIN rws),
+            pk AS (SELECT term AS key,
+                          ((1103515245 * (((('0x' || substr(md5(term), 1,
+                              12))::BIGINT) + 12345 + rws.r * 40503)
+                              % 2147483647)) % 2147483647) % 4096 AS bit
+                   FROM vocab CROSS JOIN rws),
+            hits AS (SELECT key, count(*) AS hits FROM pk
+                     WHERE bit IN (SELECT bit FROM bits)
+                     GROUP BY key)
+            SELECT v.term AS key,
+                   coalesce(h.hits, 0)::BIGINT AS hits,
+                   coalesce(h.hits, 0) = 4 AS member
+            FROM vocab v LEFT JOIN hits h ON v.term = h.key
+        """,
         "cm_heavy_hitters": """
             WITH tok AS MATERIALIZED (
                 SELECT unnest(list_filter(string_split(text, ' '),

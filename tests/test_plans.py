@@ -427,3 +427,33 @@ def test_r03_late_additions_plans(spark):
         assert "BroadcastNestedLoopJoin" not in p
         assert "BatchEvalPython" not in p
         assert "ArrowEvalPython" not in p
+
+
+def test_sketch_family_plans(spark):
+    """CM sketch, Bloom gate, JL projection: JVM-only, no cartesian;
+    JL must be a pure column program (no join, no exchange)."""
+    from dxa_pagerank_spark.functions.bloom import bloom_build, bloom_probe
+    from dxa_pagerank_spark.functions.cmsketch import cm_estimate, cm_sketch
+    from dxa_pagerank_spark.functions.projection import jl_project
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "b d")], "doc_id long, text string"
+    )
+    terms = spark.createDataFrame([("a",), ("z",)], "term string")
+    keys = spark.createDataFrame([("a",), ("b",)], "key string")
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0])], "vec_id long, embedding array<double>"
+    )
+    for df in (
+        cm_sketch(docs, width=16, depth=2),
+        cm_estimate(docs, terms, width=16, depth=2),
+        bloom_probe(keys, bloom_build(keys, m=64, k=2), m=64, k=2),
+    ):
+        p = _plan(df)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "BatchEvalPython" not in p
+        assert "ArrowEvalPython" not in p
+    pj = _plan(jl_project(emb, out_dim=2, seed=1))
+    assert "Join" not in pj and "Exchange" not in pj
+    assert "BatchEvalPython" not in pj and "ArrowEvalPython" not in pj

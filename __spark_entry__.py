@@ -1595,6 +1595,18 @@ def q_bloom_blocklist(spark, sf_dir):
     return bloom_probe(vocab, bits, m=4096, k=4)
 
 
+def q_fixed_chunks(spark, sf_dir):
+    """Fixed-size overlapping chunking (functions/chunking.py —
+    retrieval/RAG corpus prep): 32-token windows at stride 24 (8-token
+    overlap), every token covered, pure per-document array program.
+    The oracle replays the chunk-count law and the slices."""
+    from dxa_pagerank_spark.functions.chunking import fixed_chunks
+
+    return fixed_chunks(
+        _t(spark, sf_dir, "documents"), size=32, stride=24
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_benchmark_contamination(spark, sf_dir):
     """Span-level benchmark decontamination audit (GPT-3 13-gram
     collision filter at span granularity — functions/spandedup.py
@@ -2186,6 +2198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rmat_skew": q_rmat_skew,
         "cm_heavy_hitters": q_cm_heavy_hitters,
         "bloom_blocklist": q_bloom_blocklist,
+        "fixed_chunks": q_fixed_chunks,
         "cdc_dedup": q_cdc_dedup,
         "bucketed_gather": q_bucketed_gather,
         "bpe_token_counts": q_bpe_token_counts,
@@ -5279,6 +5292,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "vocab_overlap": _VOCAB_OVERLAP_SQL,
         "degree_skew": _DEGREE_SKEW_SQL.format(web_edges=_WEB_EDGES_SQL),
+        "fixed_chunks": """
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id, list_filter(string_split(text, ' '),
+                                           t -> t <> '') AS ts
+                FROM documents),
+            nz AS (SELECT doc_id, ts, len(ts) AS n FROM toks
+                   WHERE len(ts) > 0),
+            ch AS (SELECT doc_id, n, ts,
+                          unnest(range(0,
+                              1 + ceil(greatest(n - 32, 0)
+                                       / 24)::BIGINT)) AS chunk
+                   FROM nz)
+            SELECT doc_id, chunk,
+                   chunk * 24 AS start,
+                   least(chunk * 24 + 32, n) - 1 AS "end",
+                   least(chunk * 24 + 32, n) - chunk * 24 AS n_tokens,
+                   array_to_string(
+                       ts[chunk * 24 + 1 : least(chunk * 24 + 32, n)],
+                       ' ') AS chunk_text
+            FROM ch
+        """,
         "bloom_blocklist": """
             WITH tok AS MATERIALIZED (
                 SELECT doc_id,

@@ -1607,6 +1607,30 @@ def q_fixed_chunks(spark, sf_dir):
     ).withColumnRenamed("id", "doc_id")
 
 
+def q_bm25f_topk(spark, sf_dir):
+    """BM25F fielded retrieval (functions/retrieval.py bm25f_topk):
+    body field weight 1, incoming-anchor-text field weight 2 (the
+    classic web ranking where anchor text carries its own signal);
+    queries mix body and anchor vocabulary. The oracle regenerates the
+    anchor multiset from the closed-form link law and replays the
+    field folds."""
+    from dxa_pagerank_spark.functions.retrieval import bm25f_topk
+    from dxa_pagerank_spark.sources.pages import page_anchors
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    anchors = page_anchors(_web_pages(spark, sf_dir))
+    afield = anchors.groupBy(
+        F.regexp_extract("link", "([0-9]+)$", 1).cast("long").alias("doc_id")
+    ).agg(
+        F.array_join(F.array_sort(F.collect_list("text")), " ").alias("text")
+    )
+    return bm25f_topk(
+        [("body", docs, 1.0), ("anchor", afield, 2.0)],
+        [(0, "table next"), (1, "rel")],
+        k=10,
+    )
+
+
 def q_benchmark_contamination(spark, sf_dir):
     """Span-level benchmark decontamination audit (GPT-3 13-gram
     collision filter at span granularity — functions/spandedup.py
@@ -2199,6 +2223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cm_heavy_hitters": q_cm_heavy_hitters,
         "bloom_blocklist": q_bloom_blocklist,
         "fixed_chunks": q_fixed_chunks,
+        "bm25f_topk": q_bm25f_topk,
         "cdc_dedup": q_cdc_dedup,
         "bucketed_gather": q_bucketed_gather,
         "bpe_token_counts": q_bpe_token_counts,
@@ -5292,6 +5317,73 @@ def oracle_sql() -> dict[str, str]:
         ),
         "vocab_overlap": _VOCAB_OVERLAP_SQL,
         "degree_skew": _DEGREE_SKEW_SQL.format(web_edges=_WEB_EDGES_SQL),
+        "bm25f_topk": """
+            WITH pairs AS (
+                SELECT (doc_id + 1) % (SELECT count(*) FROM documents)
+                           AS dst, 'next' AS text
+                FROM documents WHERE doc_id % 10 <> 0
+                UNION ALL
+                SELECT (3 * doc_id + 7) % (SELECT count(*) FROM documents),
+                       'rel'
+                FROM documents WHERE doc_id % 10 <> 0
+                UNION ALL
+                SELECT (doc_id + 1) % (SELECT count(*) FROM documents),
+                       'again'
+                FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 3 = 0
+            ),
+            qterms(query_id, term) AS (
+                VALUES (0, 'table'), (0, 'next'), (1, 'rel')),
+            qdist AS (SELECT DISTINCT term FROM qterms),
+            af AS (SELECT dst AS doc_id, text AS term,
+                          count(*)::DOUBLE * 2 AS tf
+                   FROM pairs WHERE text IN (SELECT term FROM qdist)
+                   GROUP BY dst, text),
+            alen AS (SELECT dst AS doc_id, count(*)::DOUBLE * 2 AS dl
+                     FROM pairs GROUP BY dst),
+            btoks AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS term
+                FROM documents),
+            blen AS (SELECT doc_id,
+                            len(list_filter(string_split(text, ' '),
+                                t -> t <> ''))::DOUBLE AS dl
+                     FROM documents),
+            btf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+                    FROM btoks WHERE term IN (SELECT term FROM qdist)
+                    GROUP BY doc_id, term),
+            tfw AS (SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+                           coalesce(b.term, a.term) AS term,
+                           coalesce(b.tf, 0) + coalesce(a.tf, 0) AS tf
+                    FROM btf b FULL JOIN af a
+                      ON b.doc_id = a.doc_id AND b.term = a.term),
+            lens AS (SELECT b.doc_id,
+                            b.dl + coalesce(a.dl, 0) AS dl
+                     FROM blen b LEFT JOIN alen a ON b.doc_id = a.doc_id),
+            stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl
+                      FROM lens),
+            idf AS (SELECT term,
+                           ln(((SELECT n FROM stats) - count(*) + 0.5)
+                              / (count(*) + 0.5) + 1.0) AS idf
+                    FROM tfw GROUP BY term),
+            scored AS (
+                SELECT q.query_id, t.doc_id,
+                       sum(i.idf * (t.tf * 2.2)
+                           / (t.tf + 1.2 * (0.25
+                              + 0.75 * l.dl / (SELECT avgdl FROM stats))))
+                           AS score
+                FROM tfw t
+                JOIN lens l ON t.doc_id = l.doc_id
+                JOIN qterms q ON t.term = q.term
+                JOIN idf i ON t.term = i.term
+                GROUP BY q.query_id, t.doc_id)
+            SELECT query_id, doc_id, round(score, 6) AS score, doc_rank
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY query_id
+                      ORDER BY score DESC, doc_id) AS doc_rank
+                  FROM scored)
+            WHERE doc_rank <= 10
+        """,
         "fixed_chunks": """
             WITH toks AS MATERIALIZED (
                 SELECT doc_id, list_filter(string_split(text, ' '),

@@ -1631,6 +1631,22 @@ def q_bm25f_topk(spark, sf_dir):
     )
 
 
+def q_best_snippets(spark, sf_dir):
+    """Query-biased snippets (functions/snippets.py): earliest
+    max-coverage 12-token window for the query {table, scan} over
+    every 20th document — the search-result summary feature, run here
+    on a deterministic doc subset standing in for a retrieval top-k.
+    The oracle replays the hit-anchored window argmax and the slice."""
+    from dxa_pagerank_spark.functions.snippets import best_snippets
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    return best_snippets(
+        docs, ["table", "scan"], window=12
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_benchmark_contamination(spark, sf_dir):
     """Span-level benchmark decontamination audit (GPT-3 13-gram
     collision filter at span granularity — functions/spandedup.py
@@ -2224,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_blocklist": q_bloom_blocklist,
         "fixed_chunks": q_fixed_chunks,
         "bm25f_topk": q_bm25f_topk,
+        "best_snippets": q_best_snippets,
         "cdc_dedup": q_cdc_dedup,
         "bucketed_gather": q_bucketed_gather,
         "bpe_token_counts": q_bpe_token_counts,
@@ -5317,6 +5334,35 @@ def oracle_sql() -> dict[str, str]:
         ),
         "vocab_overlap": _VOCAB_OVERLAP_SQL,
         "degree_skew": _DEGREE_SKEW_SQL.format(web_edges=_WEB_EDGES_SQL),
+        "best_snippets": """
+            WITH docs AS MATERIALIZED (
+                SELECT doc_id, list_filter(string_split(text, ' '),
+                                           t -> t <> '') AS ts
+                FROM documents WHERE doc_id % 20 = 0),
+            pos AS (SELECT doc_id, pos, ts[pos + 1] AS term
+                    FROM (SELECT doc_id, ts,
+                                 unnest(range(0, len(ts))) AS pos
+                          FROM docs)),
+            hits AS (SELECT doc_id, pos FROM pos
+                     WHERE term IN ('table', 'scan')),
+            scored AS (
+                SELECT a.doc_id, a.pos AS s, count(*) AS n_matches
+                FROM hits a JOIN hits b ON a.doc_id = b.doc_id
+                 AND b.pos >= a.pos AND b.pos < a.pos + 12
+                GROUP BY a.doc_id, a.pos),
+            best AS (SELECT doc_id, s, n_matches FROM (
+                         SELECT *, row_number() OVER (
+                             PARTITION BY doc_id
+                             ORDER BY n_matches DESC, s) AS rn
+                         FROM scored) WHERE rn = 1)
+            SELECT b.doc_id, b.s AS snip_start,
+                   least(b.s + 12, len(d.ts)) - 1 AS snip_end,
+                   b.n_matches,
+                   array_to_string(
+                       d.ts[b.s + 1 : least(b.s + 12, len(d.ts))],
+                       ' ') AS snippet
+            FROM best b JOIN docs d ON b.doc_id = d.doc_id
+        """,
         "bm25f_topk": """
             WITH pairs AS (
                 SELECT (doc_id + 1) % (SELECT count(*) FROM documents)

@@ -1647,6 +1647,36 @@ def q_best_snippets(spark, sf_dir):
     ).withColumnRenamed("id", "doc_id")
 
 
+def q_fuzzy_terms(spark, sf_dir):
+    """Typo-tolerant term lookup (functions/fuzzy.py, SymSpell
+    deletion-index join + Levenshtein verify): queries are
+    deterministic middle-character deletions of the md5-'0' slice of
+    the vocabulary; output is every (query, vocab term) pair within
+    edit distance 1. The oracle replays mutation, deletion keys, and
+    the levenshtein filter."""
+    from dxa_pagerank_spark.functions.fuzzy import fuzzy_term_matches
+    from dxa_pagerank_spark.functions.terms import tokens
+
+    vocab = (
+        tokens(_t(spark, sf_dir, "documents")).select("term").distinct()
+    )
+    queries = (
+        vocab.filter(
+            (F.substring(F.md5(F.col("term").cast("binary")), 1, 1) == "0")
+            & (F.length("term") > 1)
+        )
+        .withColumn("h", F.floor(F.length("term") / 2).cast("int"))
+        .select(
+            F.concat(
+                F.expr("substring(term, 1, h)"),
+                F.expr("substring(term, h + 2, length(term))"),
+            ).alias("q")
+        )
+        .distinct()
+    )
+    return fuzzy_term_matches(vocab, queries)
+
+
 def q_benchmark_contamination(spark, sf_dir):
     """Span-level benchmark decontamination audit (GPT-3 13-gram
     collision filter at span granularity — functions/spandedup.py
@@ -2241,6 +2271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixed_chunks": q_fixed_chunks,
         "bm25f_topk": q_bm25f_topk,
         "best_snippets": q_best_snippets,
+        "fuzzy_terms": q_fuzzy_terms,
         "cdc_dedup": q_cdc_dedup,
         "bucketed_gather": q_bucketed_gather,
         "bpe_token_counts": q_bpe_token_counts,
@@ -5334,6 +5365,37 @@ def oracle_sql() -> dict[str, str]:
         ),
         "vocab_overlap": _VOCAB_OVERLAP_SQL,
         "degree_skew": _DEGREE_SKEW_SQL.format(web_edges=_WEB_EDGES_SQL),
+        "fuzzy_terms": """
+            WITH vocab AS MATERIALIZED (
+                SELECT DISTINCT unnest(list_filter(string_split(text, ' '),
+                                t -> t <> '')) AS term
+                FROM documents),
+            qs AS MATERIALIZED (
+                SELECT DISTINCT
+                       substr(term, 1, len(term) // 2)
+                       || substr(term, len(term) // 2 + 2,
+                                 len(term)) AS q
+                FROM vocab
+                WHERE substr(md5(term), 1, 1) = '0' AND len(term) > 1),
+            vk AS (SELECT DISTINCT term, k FROM (
+                SELECT term, unnest(list_append(
+                    list_transform(range(1, len(term) + 1),
+                        i -> substr(term, 1, i - 1)
+                             || substr(term, i + 1, len(term))),
+                    term)) AS k
+                FROM vocab)),
+            qk AS (SELECT DISTINCT q, k FROM (
+                SELECT q, unnest(list_append(
+                    list_transform(range(1, len(q) + 1),
+                        i -> substr(q, 1, i - 1)
+                             || substr(q, i + 1, len(q))),
+                    q)) AS k
+                FROM qs)),
+            cand AS (SELECT DISTINCT qk.q, vk.term
+                     FROM qk JOIN vk ON qk.k = vk.k)
+            SELECT q, term, levenshtein(q, term) AS dist
+            FROM cand WHERE levenshtein(q, term) <= 1
+        """,
         "best_snippets": """
             WITH docs AS MATERIALIZED (
                 SELECT doc_id, list_filter(string_split(text, ' '),

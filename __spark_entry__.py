@@ -1677,6 +1677,19 @@ def q_fuzzy_terms(spark, sf_dir):
     return fuzzy_term_matches(vocab, queries)
 
 
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase search (functions/snippets.py phrase_stats): the
+    positional-index posting list for the 2-token phrase "table scan"
+    — per-doc occurrence counts and first position, built as a pure
+    per-document window program. The oracle replays the window
+    equality."""
+    from dxa_pagerank_spark.functions.snippets import phrase_stats
+
+    return phrase_stats(
+        _t(spark, sf_dir, "documents"), "table scan"
+    ).withColumnRenamed("id", "doc_id")
+
+
 def q_benchmark_contamination(spark, sf_dir):
     """Span-level benchmark decontamination audit (GPT-3 13-gram
     collision filter at span granularity — functions/spandedup.py
@@ -2272,6 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": q_bm25f_topk,
         "best_snippets": q_best_snippets,
         "fuzzy_terms": q_fuzzy_terms,
+        "phrase_search": q_phrase_search,
         "cdc_dedup": q_cdc_dedup,
         "bucketed_gather": q_bucketed_gather,
         "bpe_token_counts": q_bpe_token_counts,
@@ -5365,6 +5379,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "vocab_overlap": _VOCAB_OVERLAP_SQL,
         "degree_skew": _DEGREE_SKEW_SQL.format(web_edges=_WEB_EDGES_SQL),
+        "phrase_search": """
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id, list_filter(string_split(text, ' '),
+                                           t -> t <> '') AS ts
+                FROM documents),
+            win AS (
+                SELECT doc_id, pos,
+                       array_to_string(ts[pos + 1 : pos + 2], ' ') AS w
+                FROM (SELECT doc_id, ts,
+                             unnest(range(0, greatest(len(ts) - 1, 0)))
+                                 AS pos
+                      FROM toks WHERE len(ts) >= 2))
+            SELECT doc_id, count(*) AS n_hits, min(pos) AS first_pos
+            FROM win WHERE w = 'table scan'
+            GROUP BY doc_id
+        """,
         "fuzzy_terms": """
             WITH vocab AS MATERIALIZED (
                 SELECT DISTINCT unnest(list_filter(string_split(text, ' '),

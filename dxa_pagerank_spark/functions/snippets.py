@@ -91,3 +91,53 @@ def best_snippets(
             "snippet",
         )
     )
+
+
+def phrase_matches(
+    documents: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (id, pos): every exact token-phrase occurrence (0-based
+    start position). The phrase windows are built inside one
+    per-document transform (the token_window machinery without the
+    hash) — a pure column program, no join or shuffle; the classic
+    positional-index phrase query, here as a scan-side filter. Combine
+    with best_snippets for phrase-centered summaries."""
+    terms = [t for t in phrase.split(" ") if t]
+    if not terms:
+        raise ValueError("empty phrase")
+    n = len(terms)
+    lit = " ".join(terms)
+    toks = _tokens(documents, id_col, text_col).filter(
+        F.size("ts") >= n
+    )
+    return toks.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ts") - n),
+                lambda i: F.array_join(F.slice(F.col("ts"), i + 1, n), " "),
+            )
+        ).alias("pos", "w"),
+    ).filter(F.col("w") == lit).select("id", "pos")
+
+
+def phrase_stats(
+    documents: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (id, n_hits, first_pos): per-document phrase occurrence
+    counts (docs with zero hits omitted — the positional-index
+    posting list shape)."""
+    return (
+        phrase_matches(documents, phrase, id_col, text_col)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("pos").alias("first_pos"),
+        )
+    )

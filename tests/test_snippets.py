@@ -77,3 +77,33 @@ def test_snippets_validates_args(spark):
         best_snippets(df, [], window=5)
     with pytest.raises(ValueError):
         best_snippets(df, ["a"], window=0)
+
+
+def test_phrase_matches_and_stats(spark):
+    from dxa_pagerank_spark.functions.snippets import (
+        phrase_matches,
+        phrase_stats,
+    )
+
+    docs = [
+        (0, "full table scan then another table scan here"),
+        (1, "table only and scan apart table"),
+        (2, "table scan"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id"], r["pos"])
+        for r in phrase_matches(df, "table scan").collect()
+    }
+    assert got == {(0, 1), (0, 5), (2, 0)}
+    stats = {
+        r["id"]: (r["n_hits"], r["first_pos"])
+        for r in phrase_stats(df, "table scan").collect()
+    }
+    assert stats == {0: (2, 1), 2: (1, 0)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        phrase_matches(df, "  ")

@@ -1690,6 +1690,18 @@ def q_phrase_search(spark, sf_dir):
     ).withColumnRenamed("id", "doc_id")
 
 
+def q_pmi_neighbors(spark, sf_dir):
+    """Distributional thesaurus (functions/textrank.py pmi_neighbors,
+    Church-Hanks PMI): each term's top-5 window-2 co-occurrence
+    neighbors, hapax pairs dropped (min_count=2). The oracle replays
+    the symmetrized weights, marginals, and the PMI ln."""
+    from dxa_pagerank_spark.functions.textrank import pmi_neighbors
+
+    return pmi_neighbors(
+        _t(spark, sf_dir, "documents"), window=2, top_k=5, min_count=2
+    )
+
+
 def q_benchmark_contamination(spark, sf_dir):
     """Span-level benchmark decontamination audit (GPT-3 13-gram
     collision filter at span granularity — functions/spandedup.py
@@ -2286,6 +2298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_snippets": q_best_snippets,
         "fuzzy_terms": q_fuzzy_terms,
         "phrase_search": q_phrase_search,
+        "pmi_neighbors": q_pmi_neighbors,
         "cdc_dedup": q_cdc_dedup,
         "bucketed_gather": q_bucketed_gather,
         "bpe_token_counts": q_bpe_token_counts,
@@ -5379,6 +5392,42 @@ def oracle_sql() -> dict[str, str]:
         ),
         "vocab_overlap": _VOCAB_OVERLAP_SQL,
         "degree_skew": _DEGREE_SKEW_SQL.format(web_edges=_WEB_EDGES_SQL),
+        "pmi_neighbors": """
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id, list_filter(string_split(text, ' '),
+                                           t -> t <> '') AS ts
+                FROM documents),
+            tpos AS MATERIALIZED (
+                SELECT doc_id, pos, ts[pos + 1] AS term
+                FROM (SELECT doc_id, ts, unnest(range(0, len(ts))) AS pos
+                      FROM toks)),
+            pairs AS (
+                SELECT least(a.term, b.term) AS u,
+                       greatest(a.term, b.term) AS v
+                FROM tpos a JOIN tpos b ON a.doc_id = b.doc_id
+                 AND b.pos > a.pos AND b.pos - a.pos <= 2
+                 AND a.term <> b.term),
+            und AS (SELECT u, v, count(*) AS w FROM pairs GROUP BY u, v
+                    HAVING count(*) >= 2),
+            ed AS MATERIALIZED (SELECT u, v, w FROM und
+                 UNION ALL SELECT v, u, w FROM und),
+            sw AS (SELECT u, sum(w) AS sumw FROM ed GROUP BY u),
+            tot AS (SELECT sum(w)::BIGINT AS t FROM ed)
+            SELECT term, neighbor, w, pmi, nbr_rank FROM (
+                SELECT e.u AS term, e.v AS neighbor, e.w AS w,
+                       round(ln(e.w * tot.t / (su.sumw * sv.sumw)), 6)
+                           AS pmi,
+                       row_number() OVER (
+                           PARTITION BY e.u
+                           ORDER BY round(ln(e.w * tot.t
+                                    / (su.sumw * sv.sumw)), 6) DESC,
+                                    e.v) AS nbr_rank
+                FROM ed e
+                JOIN sw su ON e.u = su.u
+                JOIN sw sv ON e.v = sv.u
+                CROSS JOIN tot)
+            WHERE nbr_rank <= 5
+        """,
         "phrase_search": """
             WITH toks AS MATERIALIZED (
                 SELECT doc_id, list_filter(string_split(text, ' '),

@@ -16,7 +16,7 @@ tokens never enter the graph). Keywords = global top_k by score with
 deterministic term tie-breaks.
 
 100-TB shape: token positions explode once; the co-occurrence pair
-join is an equi-join on (doc, position-bucket... actually doc) with a
+join is an equi-join on the doc id with a
 window-bounded position filter — per-doc fan-out is len * window, and
 the pair aggregation is map-side combinable into a vocab^2-bounded
 (in practice Zipf-sparse) edge table. The iteration then runs on the
@@ -125,4 +125,62 @@ def textrank_keywords(
         scores.select("term", F.round("score", 6).alias("score"))
         .orderBy(F.desc("score"), F.asc("term"))
         .limit(top_k)
+    )
+
+
+def pmi_neighbors(
+    documents: DataFrame,
+    window: int = 2,
+    top_k: int = 5,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """-> (term, neighbor, w, pmi, nbr_rank): each term's top_k
+    co-occurrence neighbors by PMI — the distributional-thesaurus view
+    (Church & Hanks 1990) over the same co-occurrence graph TextRank
+    iterates on. min_count drops hapax pairs (classic PMI noise
+    guard). PMI = ln(w * T / (sumw_u * sumw_v)) over the symmetrized
+    weights, exact integers until the ln; ranks use the 6-dp value
+    with (neighbor) tie-break, so the top_k cut is deterministic and
+    the rank filter plans as WindowGroupLimit."""
+    from pyspark.sql import Window
+
+    und = cooccurrence_edges(documents, window, id_col, text_col).filter(
+        F.col("w") >= min_count
+    )
+    ed = und.union(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    sumw = ed.groupBy("u").agg(F.sum("w").alias("sumw"))
+    tot = ed.agg(F.sum("w").alias("t"))
+    scored = (
+        ed.join(sumw.withColumnRenamed("u", "u_t"), ed.u == F.col("u_t"))
+        .join(
+            sumw.withColumnRenamed("u", "v_t").withColumnRenamed(
+                "sumw", "sumw_v"
+            ),
+            ed.v == F.col("v_t"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("u").alias("term"),
+            F.col("v").alias("neighbor"),
+            "w",
+            F.round(
+                F.log(
+                    F.col("w")
+                    * F.col("t")
+                    / (F.col("sumw") * F.col("sumw_v"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    rk = Window.partitionBy("term").orderBy(
+        F.desc("pmi"), F.asc("neighbor")
+    )
+    return (
+        scored.withColumn("nbr_rank", F.row_number().over(rk))
+        .filter(F.col("nbr_rank") <= top_k)
     )

@@ -93,3 +93,50 @@ def test_textrank_isolated_tokens_excluded(spark):
     )
     rows = textrank_keywords(df, window=2, rounds=3, top_k=10).collect()
     assert {r["term"] for r in rows} == {"x", "y"}
+
+
+def test_pmi_neighbors_replica(spark):
+    import math
+    from collections import Counter
+
+    from dxa_pagerank_spark.functions.textrank import pmi_neighbors
+
+    docs = [
+        (0, "a b a b c d"),
+        (1, "a b c c d a b"),
+        (2, "e f e f"),
+    ]
+    und = Counter()
+    for _, t in docs:
+        ts = t.split(" ")
+        for i in range(len(ts)):
+            for j in range(i + 1, min(i + 2, len(ts) - 1) + 1):
+                if ts[i] != ts[j]:
+                    und[(min(ts[i], ts[j]), max(ts[i], ts[j]))] += 1
+    und = {k: w for k, w in und.items() if w >= 2}
+    ed = {}
+    for (u, v), w in und.items():
+        ed[(u, v)] = w
+        ed[(v, u)] = w
+    sumw = Counter()
+    for (u, _), w in ed.items():
+        sumw[u] += w
+    t = sum(ed.values())
+    want = {}
+    for (u, v), w in ed.items():
+        want.setdefault(u, []).append(
+            (v, w, round(math.log(w * t / (sumw[u] * sumw[v])), 6))
+        )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in pmi_neighbors(df, window=2, top_k=5, min_count=2).collect():
+        got.setdefault(r["term"], []).append(
+            (r["neighbor"], r["w"], r["pmi"], r["nbr_rank"])
+        )
+    assert set(got) == set(want)
+    for u in want:
+        ranked = sorted(want[u], key=lambda x: (-x[2], x[0]))[:5]
+        got[u].sort(key=lambda x: x[3])
+        assert [(v, w) for v, w, _, _ in got[u]] == [
+            (v, w) for v, w, _ in ranked
+        ]

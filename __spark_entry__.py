@@ -2291,6 +2291,22 @@ def q_warc_link_graph(spark, sf_dir):
     )
 
 
+def q_site_simrank(spark, sf_dir):
+    """Truncated SimRank (Jeh & Widom 2002; operators/simrank.py) over
+    the rolled-up site graph: 3 power rounds at C=0.8, pair state
+    stepped one in-edge per side per round. Full SimRank is
+    pair-quadratic, so it runs on the host-level graph — the level
+    "related sites" features actually operate at. The oracle unrolls
+    the same 3 rounds as chained SQL CTEs."""
+    from dxa_pagerank_spark.operators.sitegraph import site_rollup
+    from dxa_pagerank_spark.operators.simrank import simrank
+
+    sites = site_rollup(_web_edges(spark, sf_dir), block_size=_SITE_BLOCK)
+    return simrank(sites.select("src", "dst"), rounds=3, c=0.8).select(
+        "a", "b", F.round("score", 6).alias("score")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver-verification priority. CORRECTNESS_r02
     shows the driver checks a prefix of this dict (it covered exactly
@@ -2377,6 +2393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "site_coloring": q_site_coloring,
         "web_effective_diameter": q_web_effective_diameter,
         "k_truss_4": q_k_truss_4,
+        "site_simrank": q_site_simrank,
         "site_coreness": q_site_coreness,
         "pagerank_resume_4rounds": q_pagerank_resume_4rounds,
         "jl_projection": q_jl_projection,
@@ -3026,6 +3043,40 @@ _MINHASH_GROUPS_SQL = """
 # page i links to (i+1)%N and (3i+7)%N, duplicates the first link when
 # i%3==0, and pages with i%10==0 are dangling. The engine derives this
 # multiset by PARSING the generated html; the oracle states it directly.
+def _simrank_rounds_sql(rounds: int, c: float, edges_sql: str) -> str:
+    """Truncated SimRank unrolled as chained CTEs: s0 = identity, each
+    round steps every pair one in-edge per side and renormalises by the
+    in-degree product (operators/simrank.py, same fold order irrelevant
+    at 6-dp rounding)."""
+    prelude = f"""
+        WITH e AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM ({edges_sql}) se),
+        ine AS (SELECT dst AS node, src AS nbr FROM e),
+        deg AS (SELECT node, count(*) AS d FROM ine GROUP BY node),
+        nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        s0 AS (SELECT id AS a, id AS b, 1.0::DOUBLE AS score FROM nodes)
+    """
+    for k in range(1, rounds + 1):
+        prelude += f""",
+        s{k} AS (
+            SELECT ia.node AS a, jb.node AS b,
+                   {c} * sum(p.score) / (max(da.d) * max(db.d)) AS score
+            FROM s{k - 1} p
+            JOIN ine ia ON ia.nbr = p.a
+            JOIN ine jb ON jb.nbr = p.b
+            JOIN deg da ON da.node = ia.node
+            JOIN deg db ON db.node = jb.node
+            WHERE ia.node <> jb.node
+            GROUP BY ia.node, jb.node
+            UNION ALL
+            SELECT id, id, 1.0 FROM nodes)
+        """
+    return prelude + f"""
+        SELECT a, b, round(score, 6) AS score FROM s{rounds}
+        WHERE a < b AND score > 0
+    """
+
+
 # closed-form rebuild of pages_synth.synth_pages html for page doc_id
 # (sources/pages_synth.py docstring has the link rule); ASCII-only, so
 # md5/octet_length over encode() match Spark's binary html column
@@ -5000,6 +5051,9 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
         "warc_link_graph": f"SELECT src, dst FROM ({_WEB_EDGES_SQL}) we",
+        "site_simrank": _simrank_rounds_sql(
+            3, 0.8, _SITE_EDGES_SQL.format(web_edges=_WEB_EDGES_SQL)
+        ),
         "out_degrees": f"""
             WITH edges AS ({_EDGES_SQL})
             SELECT src AS id, count(*) AS out_deg FROM edges GROUP BY src

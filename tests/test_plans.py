@@ -457,3 +457,20 @@ def test_sketch_family_plans(spark):
     pj = _plan(jl_project(emb, out_dim=2, seed=1))
     assert "Join" not in pj and "Exchange" not in pj
     assert "BatchEvalPython" not in pj and "ArrowEvalPython" not in pj
+
+
+def test_simrank_and_warc_plans(spark):
+    """SimRank rounds are equi-joins on the pair table with the
+    in-structure broadcast (never cartesian, never Python); the WARC
+    reader's only Python is the single Arrow-batched record walk."""
+    from dxa_pagerank_spark.operators.simrank import simrank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 1)], "src long, dst long"
+    )
+    p = _plan(simrank(edges, rounds=2, c=0.8))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p  # in-structure stays broadcast

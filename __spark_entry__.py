@@ -2291,6 +2291,53 @@ def q_warc_link_graph(spark, sf_dir):
     )
 
 
+def q_robots_schedule(spark, sf_dir):
+    """Robots-compliant recrawl plan (functions/robots.py): per-host
+    robots.txt bodies are synthesised with JVM string expressions by a
+    closed host rule — banned (h%5=0), Crawl-delay 2 (h%5=1), a
+    /doc/1 Disallow prefix behind an irrelevant badbot group (h%5=2),
+    an empty group (h%5=3), no file at all (h%5=4) — then GENUINELY
+    parsed by the declarative parser and enforced on the politeness
+    schedule (per_host=3, max_waves=4). The oracle states the rules
+    directly from host arithmetic and replays the ranked schedule."""
+    from dxa_pagerank_spark.functions.robots import apply_robots, parse_robots
+
+    i = F.col("doc_id").cast("long")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    frontier = docs.select(
+        i.alias("id"),
+        (i / _SITE_BLOCK).cast("long").alias("host"),
+        F.concat(F.lit("/doc/"), i.cast("string")).alias("path"),
+        (7 * i % 101).alias("priority"),
+    )
+    h = F.col("host")
+    robots = (
+        frontier.select("host")
+        .distinct()
+        .filter(h % 5 != 4)  # h%5==4: no robots.txt published
+        .select(
+            "host",
+            F.when(h % 5 == 0, F.lit("User-agent: *\nDisallow: /\n"))
+            .when(
+                h % 5 == 1,
+                F.lit("User-agent: *\nCrawl-delay: 2\nDisallow:\n"),
+            )
+            .when(
+                h % 5 == 2,
+                F.lit(
+                    "User-agent: badbot\nDisallow: /\n\n"
+                    "User-agent: *\nDisallow: /doc/1\n"
+                ),
+            )
+            .otherwise(F.lit("User-agent: *\n"))
+            .alias("robots_txt"),
+        )
+    )
+    return apply_robots(
+        frontier, parse_robots(robots), per_host=3, max_waves=4
+    )
+
+
 def q_site_simrank(spark, sf_dir):
     """Truncated SimRank (Jeh & Widom 2002; operators/simrank.py) over
     the rolled-up site graph: 3 power rounds at C=0.8, pair state
@@ -2321,6 +2368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        queries lead, cheapest first to maximize coverage) --
         "warc_roundtrip": q_warc_roundtrip,
         "warc_link_graph": q_warc_link_graph,
+        "robots_schedule": q_robots_schedule,
         "token_counts": q_token_counts,
         "pii_masked": q_pii_masked,
         "doc_length_quantiles": q_doc_length_quantiles,
@@ -5051,6 +5099,32 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
         "warc_link_graph": f"SELECT src, dst FROM ({_WEB_EDGES_SQL}) we",
+        # closed-form restatement of the synthesised robots rules
+        # (banned h%5=0, delay-2 h%5=1, /doc/1 prefix h%5=2) + the
+        # politeness-ranked schedule; the engine actually parses the txt
+        "robots_schedule": """
+            WITH f AS (
+              SELECT doc_id AS id, doc_id // 25 AS host,
+                     '/doc/' || doc_id AS path,
+                     (7 * doc_id) % 101 AS priority
+              FROM documents),
+            allowed AS (
+              SELECT * FROM f
+              WHERE host % 5 <> 0
+                AND NOT (host % 5 = 2 AND starts_with(path, '/doc/1'))),
+            ranked AS (
+              SELECT id, host,
+                     row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY priority DESC, id) AS host_rank
+              FROM allowed),
+            waves AS (
+              SELECT id, host, host_rank,
+                     (host_rank - 1)
+                       // (CASE WHEN host % 5 = 1 THEN 1 ELSE 3 END) AS wave
+              FROM ranked)
+            SELECT id, host, host_rank, wave FROM waves WHERE wave < 4
+        """,
         "site_simrank": _simrank_rounds_sql(
             3, 0.8, _SITE_EDGES_SQL.format(web_edges=_WEB_EDGES_SQL)
         ),

@@ -141,15 +141,13 @@ def _parse_warc_bytes(content: bytes) -> Iterator[tuple[str, str, bytes]]:
         yield headers["WARC-Target-URI"], headers["WARC-Date"], body
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """Archive directory -> pages(url, warc_ts, html).
+def parse_warc_files(files: DataFrame) -> DataFrame:
+    """(content binary, ...) file rows -> pages(url, warc_ts, html).
 
-    ``binaryFile`` deliberately: WARC members are not splittable, so the
-    unit of parallelism is the file, exactly like production Common
-    Crawl jobs; the parse runs Arrow-batched with the (path, bytes) row
-    as the only shuffle-free input and html bytes never re-encoded.
-    """
-    files = spark.read.format("binaryFile").load(path + "/*.warc")
+    Shared by the batch reader and the streaming ingest: the parse is a
+    stateless Arrow-batched projection, so the identical code object
+    runs under ``read`` and ``readStream`` (stream == batch parity is
+    pinned in tests, like every other streaming operator here)."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -162,6 +160,27 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["url", "warc_ts", "html"])
 
     return files.select("content").mapInPandas(parse, _PAGES_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Archive directory -> pages(url, warc_ts, html).
+
+    ``binaryFile`` deliberately: WARC members are not splittable, so the
+    unit of parallelism is the file, exactly like production Common
+    Crawl jobs; the parse runs Arrow-batched with the (path, bytes) row
+    as the only shuffle-free input and html bytes never re-encoded.
+    """
+    return parse_warc_files(
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc")
+        .load(path)
+    )
+
+
+# binaryFile's fixed schema, needed explicitly by readStream file sources
+BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
 
 
 def synth_warc_fixture(spark, docs: DataFrame, out_dir: str, n_files: int = 8):

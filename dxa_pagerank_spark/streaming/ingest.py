@@ -44,6 +44,29 @@ def stream_pages_to_edges(spark: SparkSession, input_path: str) -> DataFrame:
     return pages_to_edges(stream_pages(spark, input_path), id_mode="xxhash64")
 
 
+def stream_warc_pages(spark: SparkSession, input_path: str) -> DataFrame:
+    """Streaming pages(url, warc_ts, html) from WARC archives landing in
+    a directory — new crawl segments arrive as files (exactly how
+    Common Crawl publishes), each consumed exactly once via file-source
+    checkpoint offsets. The record walk is the identical stateless
+    Arrow projection as the batch reader (sources/warc.py
+    parse_warc_files), so stream == batch by construction; compose with
+    ``pages_to_edges`` for a streaming edge table."""
+    from dxa_pagerank_spark.sources.warc import (
+        BINARYFILE_SCHEMA,
+        parse_warc_files,
+    )
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARYFILE_SCHEMA)
+        .option("pathGlobFilter", "*.warc")
+        .option("maxFilesPerTrigger", 4)
+        .load(input_path)
+    )
+    return parse_warc_files(files)
+
+
 def run_ingest_once(
     spark: SparkSession,
     input_path: str,

@@ -99,3 +99,29 @@ def test_warc_edges_match_pages_to_edges(spark, tmp_path_factory):
     assert sorted(map(tuple, via_warc.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_streaming_warc_equals_batch(spark, tmp_path_factory):
+    """stream == batch: the WARC record walk under readStream
+    (streaming/ingest.py stream_warc_pages) drains the same archive to
+    the same rows as the batch reader."""
+    from dxa_pagerank_spark.streaming.ingest import stream_warc_pages
+
+    out = _fixture(spark, tmp_path_factory)
+    q = (
+        stream_warc_pages(spark, out)
+        .writeStream.format("memory")
+        .queryName("warc_stream_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.url, r.warc_ts, bytes(r.html))
+        for r in spark.sql("SELECT * FROM warc_stream_t").collect()
+    }
+    want = {
+        (r.url, r.warc_ts, bytes(r.html))
+        for r in read_warc(spark, out).collect()
+    }
+    assert got == want

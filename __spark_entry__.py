@@ -2291,6 +2291,28 @@ def q_warc_link_graph(spark, sf_dir):
     )
 
 
+def q_partition_advisor(spark, sf_dir):
+    """Layout advisor (operators/partitioning.py): edge-cut fraction,
+    partition load imbalance, and ghost replication (= the exact
+    per-round rank-exchange row count of a src-partitioned gather) for
+    the two layouts a web graph actually chooses between — id-hash
+    (pmod 8) vs site-block ((id//25) pmod 8). The oracle restates each
+    metric as flat SQL aggregates per strategy."""
+    from dxa_pagerank_spark.operators.partitioning import (
+        block_partitioner,
+        hash_partitioner,
+        partition_report,
+    )
+
+    return partition_report(
+        _web_edges(spark, sf_dir),
+        {
+            "hash8": hash_partitioner(8),
+            "site_block8": block_partitioner(_SITE_BLOCK, 8),
+        },
+    )
+
+
 def q_robots_schedule(spark, sf_dir):
     """Robots-compliant recrawl plan (functions/robots.py): per-host
     robots.txt bodies are synthesised with JVM string expressions by a
@@ -2369,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "warc_link_graph": q_warc_link_graph,
         "robots_schedule": q_robots_schedule,
+        "partition_advisor": q_partition_advisor,
         "token_counts": q_token_counts,
         "pii_masked": q_pii_masked,
         "doc_length_quantiles": q_doc_length_quantiles,
@@ -5099,6 +5122,36 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
         "warc_link_graph": f"SELECT src, dst FROM ({_WEB_EDGES_SQL}) we",
+        # one block per strategy: cut/load from the per-partition group,
+        # ghost from the distinct (partition, dst) exchange set
+        "partition_advisor": f"""
+            WITH e AS MATERIALIZED (
+                SELECT src, dst FROM ({_WEB_EDGES_SQL}) we),
+            h AS (SELECT src % 8 AS ps, dst % 8 AS pd, dst FROM e),
+            b AS (SELECT (src // 25) % 8 AS ps, (dst // 25) % 8 AS pd, dst
+                  FROM e),
+            hl AS (SELECT ps, count(*) AS load,
+                          sum(CASE WHEN ps <> pd THEN 1 ELSE 0 END) AS cut
+                   FROM h GROUP BY ps),
+            bl AS (SELECT ps, count(*) AS load,
+                          sum(CASE WHEN ps <> pd THEN 1 ELSE 0 END) AS cut
+                   FROM b GROUP BY ps),
+            nd AS (SELECT count(DISTINCT dst) AS n FROM e)
+            SELECT 'hash8' AS strategy,
+                   round(sum(cut)::DOUBLE / sum(load), 6) AS edge_cut_frac,
+                   round(max(load)::DOUBLE / avg(load), 6) AS load_imbalance,
+                   round((SELECT count(*) FROM (SELECT DISTINCT ps, dst
+                          FROM h) x)::DOUBLE / (SELECT n FROM nd), 6)
+                       AS ghost_factor
+            FROM hl
+            UNION ALL
+            SELECT 'site_block8',
+                   round(sum(cut)::DOUBLE / sum(load), 6),
+                   round(max(load)::DOUBLE / avg(load), 6),
+                   round((SELECT count(*) FROM (SELECT DISTINCT ps, dst
+                          FROM b) x)::DOUBLE / (SELECT n FROM nd), 6)
+            FROM bl
+        """,
         # closed-form restatement of the synthesised robots rules
         # (banned h%5=0, delay-2 h%5=1, /doc/1 prefix h%5=2) + the
         # politeness-ranked schedule; the engine actually parses the txt

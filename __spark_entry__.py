@@ -2291,6 +2291,58 @@ def q_warc_link_graph(spark, sf_dir):
     )
 
 
+def q_sitemap_discovery(spark, sf_dir):
+    """Sitemap-driven URL discovery (functions/sitemaps.py): every host
+    publishes a sitemap listing its even doc ids — ids %10==0 advertise
+    an /extra/ URL the crawl does NOT have (that's what sitemaps are
+    for), ids %4==0 carry a lastmod, priority = ((id%9)+1)/10. The xml
+    is assembled with JVM string expressions, GENUINELY parsed by the
+    regexp parser, and joined against the crawled url set; the oracle
+    restates the entry rule in closed form."""
+    from dxa_pagerank_spark.functions.sitemaps import (
+        parse_sitemaps,
+        sitemap_discovery,
+    )
+    from dxa_pagerank_spark.sources.pages_synth import BASE, page_url
+
+    i = F.col("doc_id").cast("long")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    entries = docs.filter(i % 2 == 0).select(
+        (i / _SITE_BLOCK).cast("long").alias("host"),
+        i.alias("id"),
+        F.concat(
+            F.lit("<url><loc>"),
+            F.when(
+                i % 10 == 0,
+                F.concat(F.lit(f"{BASE[: BASE.rfind('/doc/')]}/extra/"),
+                         i.cast("string")),
+            ).otherwise(page_url(i)),
+            F.lit("</loc>"),
+            F.when(
+                i % 4 == 0, F.lit("<lastmod>2024-01-01T00:00:00</lastmod>")
+            ).otherwise(F.lit("")),
+            F.lit("<priority>"),
+            ((i % 9 + 1) / F.lit(10.0)).cast("string"),
+            F.lit("</priority></url>"),
+        ).alias("entry"),
+    )
+    sitemaps = entries.groupBy("host").agg(
+        F.concat(
+            F.lit("<urlset>"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("id", "entry"))),
+                    lambda x: x.entry,
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("sitemap_xml")
+    )
+    crawled = docs.select(page_url(i).alias("url"))
+    return sitemap_discovery(parse_sitemaps(sitemaps), crawled)
+
+
 def q_partition_advisor(spark, sf_dir):
     """Layout advisor (operators/partitioning.py): edge-cut fraction,
     partition load imbalance, and ghost replication (= the exact
@@ -2392,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_link_graph": q_warc_link_graph,
         "robots_schedule": q_robots_schedule,
         "partition_advisor": q_partition_advisor,
+        "sitemap_discovery": q_sitemap_discovery,
         "token_counts": q_token_counts,
         "pii_masked": q_pii_masked,
         "doc_length_quantiles": q_doc_length_quantiles,
@@ -5122,6 +5175,18 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
         "warc_link_graph": f"SELECT src, dst FROM ({_WEB_EDGES_SQL}) we",
+        # the sitemap entry rule in closed form: even ids listed, %10==0
+        # ids advertise an /extra/ URL the crawl lacks, protocol-default
+        # handling is exercised by the engine-side parse
+        "sitemap_discovery": """
+            SELECT doc_id // 25 AS host,
+                   CASE WHEN doc_id % 10 = 0
+                        THEN 'https://example.org/extra/' || doc_id
+                        ELSE 'https://example.org/doc/' || doc_id END AS loc,
+                   ((doc_id % 9) + 1) / 10.0 AS priority,
+                   doc_id % 10 <> 0 AS crawled
+            FROM documents WHERE doc_id % 2 = 0
+        """,
         # one block per strategy: cut/load from the per-partition group,
         # ghost from the distinct (partition, dst) exchange set
         "partition_advisor": f"""

@@ -1135,6 +1135,18 @@ def q_web_mis(spark, sf_dir):
     return luby_mis(spark, _web_edges(spark, sf_dir), max_rounds=8)
 
 
+def q_web_louvain(spark, sf_dir):
+    """Bounded deterministic Louvain (2 synchronous move rounds at
+    level 0, parity-scheduled, exact 64-bit integer gain arithmetic —
+    operators/louvain.py louvain_bounded). The integer score law means
+    the SQL oracle replays the identical argmax bit-for-bit; the full
+    multilevel fixpoint (louvain()) is pinned against a pure-Python
+    replica in tests/test_louvain.py."""
+    from dxa_pagerank_spark.operators.louvain import louvain_bounded
+
+    return louvain_bounded(spark, _web_edges(spark, sf_dir), rounds=2)
+
+
 def q_site_coloring(spark, sf_dir):
     """Jones-Plassmann greedy coloring (round-index variant) of the
     site graph — each round's priority-local-maxima form an independent
@@ -2510,6 +2522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_harmonic": q_web_harmonic,
         "topic_pagerank": q_topic_pagerank,
         "web_mis": q_web_mis,
+        "web_louvain": q_web_louvain,
         "web_katz": q_web_katz,
         "ann_topk_ivf": q_ann_topk_ivf,
         "site_sssp": q_site_sssp,
@@ -4486,6 +4499,63 @@ def _mis_rounds_sql(k: int, edges_sql: str) -> str:
     )
 
 
+def _louvain_rounds_sql(k: int, edges_sql: str) -> str:
+    """Unrolled k-round bounded Louvain (operators/louvain.py
+    louvain_bounded): synchronous gain-argmax moves over the alternating
+    parity class, in EXACT 64-bit integer arithmetic — score(v, c) =
+    2m * k_{v,c} - deg(v) * (tot(c) - [c = c_v] deg(v)), ties to the
+    smaller community label, singleton pairs may only merge toward the
+    smaller label. Integer law => bit-identical to the engine."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({edges_sql})",
+        "sym AS MATERIALIZED (SELECT DISTINCT u, v FROM ("
+        "SELECT src AS u, dst AS v FROM e "
+        "UNION ALL SELECT dst AS u, src AS v FROM e) t WHERE u <> v)",
+        "dg AS MATERIALIZED (SELECT u AS id, count(*)::BIGINT AS deg"
+        " FROM sym GROUP BY u)",
+        "m AS MATERIALIZED (SELECT sum(deg)::BIGINT AS m2 FROM dg)",
+        "l0 AS MATERIALIZED (SELECT id, id AS c FROM dg)",
+    ]
+    for i in range(1, k + 1):
+        p = (i - 1) % 2
+        parts += [
+            # community degree totals + sizes under the round-entry labels
+            f"tot{i} AS MATERIALIZED (SELECT l.c, sum(d.deg)::BIGINT AS tot,"
+            f" count(*)::BIGINT AS csize"
+            f" FROM l{i - 1} l JOIN dg d ON l.id = d.id GROUP BY l.c)",
+            # k_{v,c}: edge weight from v into each neighboring community
+            f"kin{i} AS MATERIALIZED (SELECT s.u AS vid, l.c AS cand,"
+            f" count(*)::BIGINT AS kin"
+            f" FROM sym s JOIN l{i - 1} l ON s.v = l.id GROUP BY 1, 2)",
+            # staying score (own kin coalesces to the zero own-candidate row)
+            f"stay{i} AS MATERIALIZED (SELECT l.id AS vid, l.c AS c_cur,"
+            f" d.deg, (SELECT m2 FROM m) * coalesce(k.kin, 0)"
+            f" - d.deg * (t.tot - d.deg) AS stay_score,"
+            f" t.csize AS own_size"
+            f" FROM l{i - 1} l JOIN dg d ON l.id = d.id"
+            f" JOIN tot{i} t ON t.c = l.c"
+            f" LEFT JOIN kin{i} k ON k.vid = l.id AND k.cand = l.c)",
+            # best non-own candidate: max score, ties to smaller label
+            f"best{i} AS MATERIALIZED (SELECT vid, cand, score, csize FROM ("
+            f"SELECT k.vid, k.cand,"
+            f" (SELECT m2 FROM m) * k.kin - s.deg * t.tot AS score, t.csize,"
+            f" row_number() OVER (PARTITION BY k.vid ORDER BY"
+            f" (SELECT m2 FROM m) * k.kin - s.deg * t.tot DESC, k.cand ASC"
+            f") AS rn"
+            f" FROM kin{i} k JOIN stay{i} s ON k.vid = s.vid"
+            f" JOIN tot{i} t ON t.c = k.cand"
+            f" WHERE k.cand <> s.c_cur) z WHERE rn = 1)",
+            # parity-gated strict-improvement move with the singleton guard
+            f"l{i} AS MATERIALIZED (SELECT s.vid AS id,"
+            f" CASE WHEN s.vid % 2 = {p} AND b.vid IS NOT NULL"
+            f" AND b.score > s.stay_score"
+            f" AND NOT (s.own_size = 1 AND b.csize = 1 AND b.cand > s.c_cur)"
+            f" THEN b.cand ELSE s.c_cur END AS c"
+            f" FROM stay{i} s LEFT JOIN best{i} b ON b.vid = s.vid)",
+        ]
+    return ",\n".join(parts) + f"\nSELECT id, c AS community FROM l{k}"
+
+
 def _coloring_rounds_sql(k: int, edges_sql: str) -> str:
     """Unrolled k-round Jones-Plassmann coloring (operators/mis.py
     jp_coloring): same selection rule as MIS, but only selected
@@ -5985,6 +6055,7 @@ def oracle_sql() -> dict[str, str]:
             web_edges=_rmat_edges_sql(scale=10, n_edges=8192, seed=3)
         ),
         "web_mis": _mis_rounds_sql(8, _WEB_EDGES_SQL),
+        "web_louvain": _louvain_rounds_sql(2, _WEB_EDGES_SQL),
         "trending_terms": _TRENDING_TERMS_SQL,
         "table_profile": _table_profile_oracle(),
         "feature_smoothing": _FEATPROP_SQL.format(web_edges=_WEB_EDGES_SQL),

@@ -474,3 +474,25 @@ def test_simrank_and_warc_plans(spark):
     assert "BatchEvalPython" not in p
     assert "ArrowEvalPython" not in p
     assert "BroadcastHashJoin" in p  # in-structure stays broadcast
+
+
+def test_louvain_move_round_plan(spark):
+    """One Louvain move round (operators/louvain.py): equi-joins +
+    hash aggregates only, community-totals table joined broadcast,
+    no Python anywhere in the plan."""
+    from dxa_pagerank_spark.operators.louvain import (
+        _adjacency,
+        _degrees,
+        louvain_move_round,
+    )
+
+    src, dst = fast_synthetic_edges(2000, 4, seed=9)
+    adj = _adjacency(edges_to_spark(spark, src, dst))
+    deg = _degrees(adj)
+    labels = deg.select("id", F.col("id").alias("c"))
+    p = _plan(louvain_move_round(adj, labels, deg, m2=16000, parity=0))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p  # the |communities|-row totals join

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dxa_pagerank_spark.plans.lineage import cut_lineage
+
 
 def _canonical(edges: DataFrame) -> DataFrame:
     """multigraph (src, dst, weight) -> one (a < b, w) per pair, min
@@ -58,14 +60,14 @@ def boruvka_msf(
 ) -> DataFrame:
     """-> (a, b, weight): the minimum spanning forest's edges (V - C
     rows for C connected components)."""
-    can = _canonical(edges).localCheckpoint(eager=True)
+    can = cut_lineage(_canonical(edges))
     comp = (
         can.select(F.col("a").alias("id"))
         .union(can.select(F.col("b").alias("id")))
         .distinct()
         .select("id", F.col("id").alias("c"))
-        .localCheckpoint(eager=True)
     )
+    comp = cut_lineage(comp)
     forest: DataFrame | None = None
     for _ in range(max_rounds):
         ca = comp.select(F.col("id").alias("a"), F.col("c").alias("cu"))
@@ -74,8 +76,12 @@ def boruvka_msf(
             can.join(ca, "a")
             .join(cb, "b")
             .filter(F.col("cu") != F.col("cv"))
-            .localCheckpoint(eager=True)
         )
+        # every per-round checkpoint is a cut_lineage, not a bare
+        # localCheckpoint: the round joins two comp-derived tables, so
+        # inherited size estimates would compound exponentially across
+        # rounds in Catalyst's stats math (see plans/lineage.py)
+        live = cut_lineage(live)
         if live.limit(1).count() == 0:
             break
         # per-component minimum outgoing edge, ties by (a, b)
@@ -91,8 +97,8 @@ def boruvka_msf(
                 F.col("e.w").alias("w"),
             )
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        chosen = cut_lineage(chosen)
         forest = chosen if forest is None else forest.union(chosen)
         # contract: each component label maps to the MINIMUM label of
         # its connected group in the chosen-edge graph — delegated to
@@ -116,8 +122,8 @@ def boruvka_msf(
         comp = (
             comp.join(labels, "c", "left")
             .select("id", F.coalesce("m", F.col("c")).alias("c"))
-            .localCheckpoint(eager=True)
         )
+        comp = cut_lineage(comp)
     else:
         raise RuntimeError(
             f"boruvka_msf did not converge in {max_rounds} rounds"

@@ -14,7 +14,7 @@ is_cycle flag for chains that never terminate (redirect loops).
 Algorithm: pointer doubling over the pointer map itself — each round
 self-joins the map on ptr.cur = ptr'.src, composing jumps (2^r hops
 after r rounds) and summing exact hop distances. log2(longest chain)
-rounds, each one equi-join + localCheckpoint on |srcs| rows (never
+rounds, each one equi-join + lineage cut on |srcs| rows (never
 |chains| * length). Early exit is SOUND: in round r the doubling
 resolves every pending node at chain-distance (2^(r-1), 2^r] — a
 nonempty set whenever any non-cycle node is pending — so a round with
@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dxa_pagerank_spark.plans.lineage import cut_lineage
+
 
 def resolve_redirects(
     spark: SparkSession,
@@ -41,9 +43,9 @@ def resolve_redirects(
         redirects.filter(F.col("src") != F.col("dst"))
         .groupBy("src")
         .agg(F.min("dst").alias("cur"))
-        .localCheckpoint(eager=True)
     )
-    srcs = rd.select("src").localCheckpoint(eager=True)
+    rd = cut_lineage(rd)
+    srcs = cut_lineage(rd.select("src"))
     # resolved(x) <=> cur is not itself a redirect source
     ptr = (
         rd.alias("p")
@@ -54,8 +56,12 @@ def resolve_redirects(
             F.lit(1).cast("long").alias("hops"),
             F.col("s.src").isNull().alias("done"),
         )
-        .localCheckpoint(eager=True)
     )
+    # pointer doubling self-joins ptr with ptr: a plain localCheckpoint
+    # would SQUARE the inherited size estimate every round (exponential
+    # BigInteger digit growth in Catalyst's stats math — see
+    # plans/lineage.py), so every per-round checkpoint is a cut_lineage
+    ptr = cut_lineage(ptr)
     for _ in range(max_rounds):
         n_pending = ptr.filter(~F.col("done")).count()
         if n_pending == 0:
@@ -77,8 +83,8 @@ def resolve_redirects(
                 ).alias("hops"),
                 F.coalesce(F.col("b.done"), F.col("a.done")).alias("done"),
             )
-            .localCheckpoint(eager=True)
         )
+        nxt = cut_lineage(nxt)
         newly = nxt.filter(F.col("done")).count() - ptr.filter(
             F.col("done")
         ).count()

@@ -1066,6 +1066,35 @@ def q_web_distance_histogram(spark, sf_dir):
     return distance_histogram(q_web_bfs_levels(spark, sf_dir))
 
 
+def q_web_landmark_distances(spark, sf_dir):
+    """Landmark distance oracle (operators/landmarks.py — Potamias et
+    al. CIKM'09): 4 highest-degree landmarks, one batched BFS over the
+    symmetrized link graph, then per-query-pair triangle-inequality
+    bounds [d_lower, d_upper] via two vertex-keyed joins (per-pair
+    fan-out = k, never a traversal). Query pairs are consecutive
+    doc_id % 97 == 1 ids. The oracle replays landmark choice, the BFS
+    closure (recursive CTE, same depth cap), and both bounds."""
+    from pyspark.sql import Window
+
+    from dxa_pagerank_spark.operators.landmarks import (
+        estimate_distances,
+        landmark_distances,
+    )
+
+    dists = landmark_distances(
+        spark, _web_edges(spark, sf_dir), k=4, max_depth=12
+    )
+    qs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 1)
+        .select(F.col("doc_id").alias("u"))
+    )
+    pairs = qs.select(
+        "u", F.lead("u").over(Window.orderBy("u")).alias("v")
+    ).filter(F.col("v").isNotNull())
+    return estimate_distances(dists, pairs)
+
+
 def q_graph_reciprocity(spark, sf_dir):
     """Reciprocity of the page link graph: share of distinct non-loop
     edges whose reverse edge exists (operators/graphstats.py). The
@@ -2557,6 +2586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_coupling": q_web_coupling,
         "web_walks": q_web_walks,
         "web_bfs_levels": q_web_bfs_levels,
+        "web_landmark_distances": q_web_landmark_distances,
         "web_distance_histogram": q_web_distance_histogram,
         "graph_reciprocity": q_graph_reciprocity,
         "degree_assortativity": q_degree_assortativity,
@@ -3319,6 +3349,37 @@ _BOWTIE_SQL = _SCC_CLOSURE_SQL + """,
 # BFS: recursive min-distance closure, identical seed rule and depth
 # cap as operators/bfs.py (UNION dedups (id, dist) states, so the
 # recursion is bounded by N x max_depth).
+_LANDMARK_SQL = """
+    WITH RECURSIVE e AS MATERIALIZED (
+        SELECT DISTINCT u, v FROM (
+            SELECT src AS u, dst AS v FROM ({web_edges}) w1
+            UNION ALL
+            SELECT dst AS u, src AS v FROM ({web_edges}) w2) t
+        WHERE u <> v),
+    deg AS (SELECT u AS id, count(*) AS d FROM e GROUP BY u),
+    lm AS MATERIALIZED (
+        SELECT id FROM deg ORDER BY d DESC, id ASC LIMIT 4),
+    lvl AS (
+        SELECT id AS l, id, 0 AS dist FROM lm
+        UNION
+        SELECT lvl.l, e.v, lvl.dist + 1
+        FROM lvl JOIN e ON lvl.id = e.u WHERE lvl.dist < 12),
+    d AS MATERIALIZED (
+        SELECT l, id, min(dist) AS dist FROM lvl GROUP BY l, id),
+    q AS (
+        SELECT doc_id AS u, lead(doc_id) OVER (ORDER BY doc_id) AS v
+        FROM documents WHERE doc_id % 97 = 1)
+    SELECT q.u, q.v,
+           max(abs(du.dist - dv.dist))::BIGINT AS d_lower,
+           min(du.dist + dv.dist)::BIGINT AS d_upper,
+           count(*)::BIGINT AS n_landmarks
+    FROM q
+    JOIN d du ON du.id = q.u
+    JOIN d dv ON dv.l = du.l AND dv.id = q.v
+    WHERE q.v IS NOT NULL
+    GROUP BY q.u, q.v
+"""
+
 _BFS_SQL = """
     WITH RECURSIVE e AS MATERIALIZED (
         SELECT DISTINCT src, dst FROM ({web_edges}) we),
@@ -5770,6 +5831,9 @@ def oracle_sql() -> dict[str, str]:
         "web_walks": _walks_sql(_WEB_EDGES_SQL, length=4),
         "walk_skipgrams": _skipgram_sql(_WEB_EDGES_SQL, length=4, window=2),
         "web_bfs_levels": _BFS_SQL.format(web_edges=_WEB_EDGES_SQL),
+        "web_landmark_distances": _LANDMARK_SQL.format(
+            web_edges=_WEB_EDGES_SQL
+        ),
         "web_distance_histogram": (
             "WITH levels AS ("
             + _BFS_SQL.format(web_edges=_WEB_EDGES_SQL)

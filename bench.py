@@ -168,6 +168,12 @@ def main() -> None:
             F.sum("contaminated_tokens")
         ).collect(),
     )
+    timed(
+        "louvain_sf",
+        lambda: entrymod.q_web_louvain(spark, SF_DIR).agg(
+            F.countDistinct("community")
+        ).collect(),
+    )
 
     # --- synthetic PageRank hot loop: the BASELINE.json metric ---
     # csr (the north_star kernel) is the headline; the general df loop

@@ -304,12 +304,15 @@ def louvain_bounded(
     at level 0 (parity 0, 1, ...), no contraction. Driver-contract
     counterpart of the full fixpoint (like cc_one_round / lpa_one_round
     for their loops)."""
-    adj = _adjacency(edges)
-    deg = _degrees(adj)
+    adj = cut_lineage(_adjacency(edges))
+    deg = cut_lineage(_degrees(adj))
     m2 = deg.agg(F.sum("deg")).collect()[0][0] or 0
     labels = deg.select("id", F.col("id").alias("c"))
     for r in range(rounds):
-        labels = louvain_move_round(
-            adj, labels, deg, m2, parity=r % 2
+        # value-neutral per-round cut: the move round references the
+        # label table four times, so an uncheckpointed plan re-evaluates
+        # the whole previous round 4x (16x after two rounds)
+        labels = cut_lineage(
+            louvain_move_round(adj, labels, deg, m2, parity=r % 2)
         ).select("id", "c")
     return labels.select("id", F.col("c").alias("community"))

@@ -1095,6 +1095,24 @@ def q_web_landmark_distances(spark, sf_dir):
     return estimate_distances(dists, pairs)
 
 
+def q_mirror_sites(spark, sf_dir):
+    """Mirror-site detection (functions/mirrors.py — Bharat-Broder
+    WWW'99): sites summarized by their docs' prefix fingerprints,
+    boilerplate fingerprints capped BEFORE the inverted-index
+    self-join, Broder set resemblance per surviving pair. The oracle
+    replays the fingerprint (same md5-of-first-8-tokens), the cap, and
+    the resemblance arithmetic."""
+    from dxa_pagerank_spark.functions.mirrors import mirror_candidates
+
+    return mirror_candidates(
+        _t(spark, sf_dir, "documents"),
+        block_size=_SITE_BLOCK,
+        prefix_tokens=8,
+        min_overlap=1,
+        max_fp_sites=16,
+    )
+
+
 def q_graph_reciprocity(spark, sf_dir):
     """Reciprocity of the page link graph: share of distinct non-loop
     edges whose reverse edge exists (operators/graphstats.py). The
@@ -2587,6 +2605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_walks": q_web_walks,
         "web_bfs_levels": q_web_bfs_levels,
         "web_landmark_distances": q_web_landmark_distances,
+        "mirror_sites": q_mirror_sites,
         "web_distance_histogram": q_web_distance_histogram,
         "graph_reciprocity": q_graph_reciprocity,
         "degree_assortativity": q_degree_assortativity,
@@ -3378,6 +3397,30 @@ _LANDMARK_SQL = """
     JOIN d dv ON dv.l = du.l AND dv.id = q.v
     WHERE q.v IS NOT NULL
     GROUP BY q.u, q.v
+"""
+
+_MIRROR_SQL = """
+    WITH sig AS MATERIALIZED (
+        SELECT DISTINCT doc_id // 25 AS site,
+               md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp
+        FROM documents),
+    sizes AS (SELECT site, count(*)::BIGINT AS size FROM sig GROUP BY site),
+    rare AS (
+        SELECT s.site, s.fp FROM sig s
+        JOIN (SELECT fp FROM sig GROUP BY fp HAVING count(*) <= 16) r
+        USING (fp)),
+    p AS (
+        SELECT a.site AS site_a, b.site AS site_b,
+               count(*)::BIGINT AS n_common
+        FROM rare a JOIN rare b ON a.fp = b.fp AND a.site < b.site
+        GROUP BY 1, 2 HAVING count(*) >= 1)
+    SELECT p.site_a, p.site_b, p.n_common,
+           sa.size AS size_a, sb.size AS size_b,
+           p.n_common::DOUBLE / (sa.size + sb.size - p.n_common)
+               AS resemblance
+    FROM p
+    JOIN sizes sa ON sa.site = p.site_a
+    JOIN sizes sb ON sb.site = p.site_b
 """
 
 _BFS_SQL = """
@@ -5834,6 +5877,7 @@ def oracle_sql() -> dict[str, str]:
         "web_landmark_distances": _LANDMARK_SQL.format(
             web_edges=_WEB_EDGES_SQL
         ),
+        "mirror_sites": _MIRROR_SQL,
         "web_distance_histogram": (
             "WITH levels AS ("
             + _BFS_SQL.format(web_edges=_WEB_EDGES_SQL)

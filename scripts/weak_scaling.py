@@ -97,16 +97,39 @@ def main() -> None:
     loops = "csr,df"
     if "--loops" in sys.argv:
         loops = sys.argv[sys.argv.index("--loops") + 1]
+    # --repeat K interleaves the legs K times (A B C A B C ...) so
+    # slow host-load drift hits every leg roughly equally instead of
+    # landing on whichever leg was unlucky; the uncontended-floor
+    # estimator then takes the best round observed per leg across all
+    # repeats (more identical deterministic rounds -> tighter floor).
+    repeat = 1
+    if "--repeat" in sys.argv:
+        repeat = int(sys.argv[sys.argv.index("--repeat") + 1])
     for _, n in LEGS:
         ensure_cache(n)
     for loop in loops.split(","):
-        rows = {}
-        for cores, n in LEGS:
-            print(f"leg {loop} cores={cores} n={n}", file=sys.stderr, flush=True)
-            row = run_leg(loop, cores, n)
-            rows[cores] = row
-            with open(OUT, "a") as f:
-                f.write(json.dumps(row) + "\n")
+        rows: dict[int, dict] = {}
+        for rep in range(repeat):
+            for cores, n in LEGS:
+                print(
+                    f"leg {loop} cores={cores} n={n} rep={rep + 1}/{repeat}",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                row = run_leg(loop, cores, n)
+                with open(OUT, "a") as f:
+                    f.write(json.dumps(row) + "\n")
+                best = rows.get(cores)
+                if best is None:
+                    rows[cores] = row
+                else:
+                    # pool: keep the better value per estimator
+                    best["edges_per_sec"] = max(
+                        best["edges_per_sec"], row["edges_per_sec"]
+                    )
+                    best["edges_per_sec_min"] = max(
+                        best["edges_per_sec_min"], row["edges_per_sec_min"]
+                    )
         for lo_c in sorted(rows):
             hi_c = 4 * lo_c
             if hi_c not in rows:
@@ -121,6 +144,7 @@ def main() -> None:
                             "pair": f"{lo_c}c/{small['n_vertices']} -> "
                             f"{hi_c}c/{big['n_vertices']}",
                             "estimator": est,
+                            "repeats_pooled": repeat,
                             "thr_small": small[est],
                             "thr_big": big[est],
                             "weak_efficiency": round(eff, 3),

@@ -140,6 +140,7 @@ def main(argv: list[str] | None = None) -> None:
             .partitionBy("slave")
             .text(os.path.join(out, "pageRank"))
         )
+        _rename_rank_parts(os.path.join(out, "pageRank"))
 
     write_statistics(
         os.path.join(out, "statistics.out"),
@@ -159,6 +160,37 @@ def main(argv: list[str] | None = None) -> None:
     )
 
     print(f"converged={res.converged} rounds={res.rounds} out={out}")
+
+
+def _rename_rank_parts(pr_dir: str) -> None:
+    """Rename Spark's part-*.txt outputs to the reference's per-peer
+    `$NodeID$.pageRank` naming (PRInfoTask.java:52-60: one file per
+    peer named by its node ID). Each slave=S dir holds that slave's
+    single text partition; concatenate (sorted, for the multi-part
+    edge case) into `S.pageRank` and drop the .crc sidecars."""
+    if not os.path.isdir(pr_dir):
+        return
+    for slave_dir in os.listdir(pr_dir):
+        full = os.path.join(pr_dir, slave_dir)
+        if not os.path.isdir(full) or "=" not in slave_dir:
+            continue
+        slave = slave_dir.split("=", 1)[1]
+        parts = sorted(
+            p for p in os.listdir(full)
+            if p.startswith("part-") and p.endswith(".txt")
+        )
+        dest = os.path.join(full, f"{slave}.pageRank")
+        if len(parts) == 1:
+            os.rename(os.path.join(full, parts[0]), dest)
+        elif parts:
+            with open(dest, "w") as w:
+                for p in parts:
+                    with open(os.path.join(full, p)) as r:
+                        w.write(r.read())
+                    os.remove(os.path.join(full, p))
+        for p in os.listdir(full):
+            if p.endswith(".crc"):
+                os.remove(os.path.join(full, p))
 
 
 def _slave_of(id_col, n: int, n_slaves: int, synthetic: bool):

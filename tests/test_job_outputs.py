@@ -70,14 +70,14 @@ def test_job_s2_file_input_matches_s1(spark, tmp_path):
             "--out", str(out), "--cores", "4", "--slaves", str(s),
         ])
         lines = []
-        for p in sorted(out.glob("pageRank/**/part-*")):
+        for p in sorted(out.glob("pageRank/**/*.pageRank")):
             lines += p.read_text().splitlines()
         outs[s] = dict(ln.split(" ") for ln in lines)
     assert outs[1] == outs[2]  # identical ranks, byte-for-byte
     # placement law: slave=k dir holds exactly the names with (v-1)%2==k
     for k in (0, 1):
         names = set()
-        for p in (tmp_path / "out_s2/pageRank" / f"slave={k}").glob("part-*"):
+        for p in (tmp_path / "out_s2/pageRank" / f"slave={k}").glob("*.pageRank"):
             names |= {ln.split(" ")[0] for ln in p.read_text().splitlines()}
         assert names == {str(v) for v in range(1, 8) if (v - 1) % 2 == k}
     stats = (tmp_path / "out_s2/statistics.out").read_text()
@@ -101,7 +101,7 @@ def test_job_s2_synthetic_runs_parity_generator(spark, tmp_path):
     src, dst = synthetic_edges(100, 0.6, 4, 21, n_slaves=2)
     oracle = pagerank_oracle(100, src, dst, 0.85, 1e-8, 50)
     got = {}
-    for p in sorted(out.glob("pageRank/**/part-*")):
+    for p in sorted(out.glob("pageRank/**/*.pageRank")):
         for ln in p.read_text().splitlines():
             name, val = ln.split(" ")
             assert name.startswith("0x") and len(name) == 18  # 0x + 16 hex
@@ -113,7 +113,7 @@ def test_job_s2_synthetic_runs_parity_generator(spark, tmp_path):
         assert abs(got[i] - oracle.ranks[i]) < 1e-9
     # block placement: slave=0 holds global ids 0..49 (LIDs 1..50, node 0)
     names0 = set()
-    for p in (out / "pageRank/slave=0").glob("part-*"):
+    for p in (out / "pageRank/slave=0").glob("*.pageRank"):
         names0 |= {ln.split(" ")[0] for ln in p.read_text().splitlines()}
     assert names0 == {f"0x{lid:016X}" for lid in range(1, 51)}
 

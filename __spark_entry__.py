@@ -224,6 +224,17 @@ def q_triangle_count(spark, sf_dir):
     return triangle_count_df(spark, _edges(spark, sf_dir))
 
 
+def q_triangle_count_doulion(spark, sf_dir):
+    """DOULION sparsified triangle count (operators/triangles.py):
+    keep each undirected simple edge iff a deterministic Lehmer-style
+    hash lands in 1-of-2 residues, exact-count the sample, scale by
+    2^3. The oracle replays the identical hash in SQL, so the sampled
+    subgraph — and therefore the estimate — matches bit-for-bit."""
+    from dxa_pagerank_spark.operators.triangles import triangle_count_sampled
+
+    return triangle_count_sampled(spark, _edges(spark, sf_dir), p_inv=2, seed=7)
+
+
 def q_clustering_coeff(spark, sf_dir):
     from dxa_pagerank_spark.operators.triangles import clustering_coefficients
 
@@ -2633,6 +2644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_one_round": q_lpa_one_round,
         "label_propagation": q_label_propagation,
         "triangle_count": q_triangle_count,
+        "triangle_count_doulion": q_triangle_count_doulion,
         "clustering_coeff": q_clustering_coeff,
         "tpch_q1ish": q_tpch_q1ish,
         "supplier_revenue": q_supplier_revenue,
@@ -5498,6 +5510,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_triangles
             FROM und e1 JOIN und e2 ON e2.a = e1.b
                  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "triangle_count_doulion": f"""
+            WITH edges AS ({_EDGES_SQL}),
+            und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                    FROM edges WHERE src <> dst),
+            -- identical Lehmer-style hash to triangles._edge_hash_col
+            -- (seed 7, rate 1/2): every intermediate < 2^52
+            samp AS (SELECT a, b FROM und
+                     WHERE ((((a % 2147483647) * 1000003
+                              + (b % 2147483647) + 7) % 2147483647)
+                            * 16807) % 2147483647 % 2 = 0)
+            SELECT count(*) AS n_tri_sampled,
+                   count(*) * 8 AS n_triangles_est
+            FROM samp e1 JOIN samp e2 ON e2.a = e1.b
+                 JOIN samp e3 ON e3.a = e1.a AND e3.b = e2.b
         """,
         "clustering_coeff": f"""
             WITH edges AS MATERIALIZED ({_EDGES_SQL}),

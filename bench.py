@@ -101,6 +101,14 @@ def main() -> None:
         ).collect(),
     )
     timed("triangle_count_sf", lambda: triangle_count(spark, sf_edges))
+    # the sampled scale path beside the exact count: same plan on a
+    # 1/2-rate hash-thinned edge set (wedge work ~1/4, output ~1/8)
+    from dxa_pagerank_spark.operators.triangles import triangle_count_sampled
+
+    timed(
+        "triangle_doulion_sf",
+        lambda: triangle_count_sampled(spark, sf_edges, p_inv=2, seed=7).collect(),
+    )
     timed(
         "k_truss_sf",
         lambda: k_truss(spark, sf_edges, k=4).count(),

@@ -130,3 +130,61 @@ def clustering_coefficients(
             .alias("clustering"),
         )
     )
+
+
+# --- DOULION-style sparsified counting (the 10^12-edge scale path) ---
+#
+# Exact counting's wedge join costs O(sum over pivots of outdeg^2); at
+# web scale the sampled form (Tsourakakis/Kang/Koutra/Faloutsos, KDD
+# 2009, public literature) keeps each undirected simple edge with
+# probability 1/p_inv and scales the sampled-subgraph count by
+# p_inv^3 — an unbiased estimator whose wedge work drops ~p_inv^2 and
+# whose candidate output drops ~p_inv^3. The coin is a DETERMINISTIC
+# per-edge hash (two Lehmer-style modular steps, every intermediate
+# < 2^52 so int64/ANSI-safe), so the estimate is reproducible and the
+# SQL oracle replays the identical sample bit-for-bit.
+
+_HASH_MOD = 2147483647  # 2^31 - 1, the Park-Miller modulus
+_HASH_A = 1000003
+_HASH_G = 16807
+
+
+def _edge_hash_col(a, b, seed: int):
+    """int64-safe deterministic hash of the undirected edge (a, b) in
+    [0, 2^31-1): mirrors the SQL form used by the driver oracle."""
+    h = ((a % _HASH_MOD) * _HASH_A + (b % _HASH_MOD) + F.lit(seed)) % _HASH_MOD
+    return (h * _HASH_G) % _HASH_MOD
+
+
+def triangle_count_sampled(
+    spark: SparkSession,
+    edges: DataFrame,
+    p_inv: int,
+    seed: int = 0,
+) -> DataFrame:
+    """-> 1 row (n_tri_sampled long, n_triangles_est long): exact
+    triangle count of the hash-sampled (rate 1/p_inv) undirected simple
+    subgraph, and the DOULION estimate n_tri_sampled * p_inv**3.
+
+    The filter lands BEFORE orientation, so degrees, wedges, and the
+    closing join all operate on the thinned edge set — the whole exact
+    pipeline shrinks, not just the last join."""
+    if p_inv < 1:
+        raise ValueError(f"p_inv must be >= 1, got {p_inv}")
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    samp = und.filter(
+        _edge_hash_col(F.col("a"), F.col("b"), seed) % p_inv == 0
+    )
+    n = triangle_count(
+        spark, samp.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    return spark.createDataFrame(
+        [(n, n * p_inv**3)], "n_tri_sampled long, n_triangles_est long"
+    )

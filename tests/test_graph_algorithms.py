@@ -160,3 +160,56 @@ def test_clustering_coefficients(spark):
     assert set(got) == {v for v in range(n) if v in set(src) | set(dst)}
     for v, c in got.items():
         assert abs(c - oracle[v]) < 1e-12, (v, c, oracle[v])
+
+
+def _doulion_oracle(src, dst, p_inv, seed):
+    """Pure-Python replay of triangle_count_sampled: the identical
+    Lehmer-style edge hash, then brute-force counting on the sample."""
+    MOD, A, G = 2147483647, 1000003, 16807
+    und = {(min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d}
+    samp = [
+        (a, b)
+        for a, b in und
+        if (((a % MOD) * A + (b % MOD) + seed) % MOD * G) % MOD % p_inv == 0
+    ]
+    nbrs = {}
+    for a, b in samp:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    n_tri = (
+        sum(
+            len(nbrs[a] & nbrs[b])
+            for a, b in samp
+        )
+        // 3
+    )
+    return len(samp), n_tri, n_tri * p_inv**3
+
+
+def test_triangles_doulion_deterministic(spark):
+    """Sampled count replays exactly (hash-deterministic, no RNG) and
+    the estimator lands near the exact count on a triangle-rich graph."""
+    from dxa_pagerank_spark.operators.triangles import triangle_count_sampled
+
+    n = 300
+    src, dst = fast_synthetic_edges(n, 8, seed=11)
+    n_samp, n_tri, est = _doulion_oracle(src, dst, p_inv=2, seed=7)
+    assert n_tri > 0  # sample must retain triangles or the test is vacuous
+    row = triangle_count_sampled(
+        spark, edges_to_spark(spark, src, dst), p_inv=2, seed=7
+    ).collect()[0]
+    assert (row["n_tri_sampled"], row["n_triangles_est"]) == (n_tri, est)
+    exact = triangle_count_oracle(n, src, dst)
+    # unbiased estimator, dense graph: generous 2x band, deterministic
+    assert 0.5 * exact <= est <= 2.0 * exact
+
+
+def test_triangles_doulion_p1_is_exact(spark):
+    """p_inv=1 keeps every edge: the estimate IS the exact count."""
+    from dxa_pagerank_spark.operators.triangles import triangle_count_sampled
+
+    n, src, dst = parse_in_edge_list(FIXTURE_GRAPHS["g_triangles"])
+    row = triangle_count_sampled(
+        spark, edges_to_spark(spark, src, dst), p_inv=1, seed=0
+    ).collect()[0]
+    assert row["n_tri_sampled"] == row["n_triangles_est"] == 5

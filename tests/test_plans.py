@@ -496,3 +496,69 @@ def test_louvain_move_round_plan(spark):
     assert "BatchEvalPython" not in p
     assert "ArrowEvalPython" not in p
     assert "BroadcastHashJoin" in p  # the |communities|-row totals join
+
+
+def test_final_batch_plans(spark):
+    """Landmark bound estimation, mirror candidates, one Boruvka round,
+    and the DOULION sample filter: equi-joins + hash aggregates only,
+    site-size tables broadcast, no Python, no cartesian anywhere."""
+    from dxa_pagerank_spark.functions.mirrors import mirror_candidates
+    from dxa_pagerank_spark.operators.landmarks import estimate_distances
+    from dxa_pagerank_spark.operators.mst import _canonical
+    from dxa_pagerank_spark.operators.triangles import (
+        _edge_hash_col,
+        _oriented,
+    )
+
+    src, dst = fast_synthetic_edges(500, 4, seed=13)
+    edges = edges_to_spark(spark, src, dst)
+
+    # landmark triangle-inequality bounds: two vertex-keyed equi-joins
+    dists = spark.createDataFrame(
+        [(0, 1, 1), (0, 2, 2), (5, 1, 3), (5, 2, 1)],
+        "landmark long, id long, dist long",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "u long, v long")
+    est_plan = _plan(estimate_distances(dists, pairs))
+
+    # mirror candidates: capped fingerprint self-join + broadcast sizes
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 3} a b c d e f g h", "en") for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    mirror_plan = _plan(
+        mirror_candidates(docs, block_size=5, prefix_tokens=4, max_fp_sites=8)
+    )
+
+    # one Boruvka live-edge round: two component-label equi-joins
+    w = edges.select("src", "dst", (F.col("src") % 7 + 1).cast("double").alias("weight"))
+    can = _canonical(w)
+    comp = (
+        can.select(F.col("a").alias("id"))
+        .union(can.select(F.col("b").alias("id")))
+        .distinct()
+        .select("id", F.col("id").alias("c"))
+    )
+    live = (
+        can.join(comp.select(F.col("id").alias("a"), F.col("c").alias("cu")), "a")
+        .join(comp.select(F.col("id").alias("b"), F.col("c").alias("cv")), "b")
+        .filter(F.col("cu") != F.col("cv"))
+    )
+    mst_plan = _plan(live)
+
+    # DOULION: hash sampling is a pure column filter feeding the same
+    # oriented-wedge machinery triangle_count uses
+    und = edges.filter(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    samp = und.filter(_edge_hash_col(F.col("a"), F.col("b"), 7) % 2 == 0)
+    doulion_plan = _plan(
+        _oriented(samp.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    )
+
+    for p in (est_plan, mirror_plan, mst_plan, doulion_plan):
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "BatchEvalPython" not in p
+        assert "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in mirror_plan  # the site-size attach

@@ -171,13 +171,14 @@ def triangle_count_sampled(
     pipeline shrinks, not just the last join."""
     if p_inv < 1:
         raise ValueError(f"p_inv must be >= 1, got {p_inv}")
-    und = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
-        )
-        .distinct()
+    # NO dedup here: the hash is a pure function of the undirected
+    # value (a, b), so duplicates decide identically and the dedup
+    # inside _oriented's symmetrize sees the same sampled edge set —
+    # sampling commutes with distinct, and skipping it saves a full
+    # edge-table shuffle before the thinning filter.
+    und = edges.filter(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("a"),
+        F.greatest("src", "dst").alias("b"),
     )
     samp = und.filter(
         _edge_hash_col(F.col("a"), F.col("b"), seed) % p_inv == 0

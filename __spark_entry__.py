@@ -566,6 +566,22 @@ def q_minhash_dedup(spark, sf_dir):
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_incremental_near_dup(spark, sf_dir):
+    """Cross-crawl dedup: docs with doc_id % 4 == 0 arrive as the NEW
+    crawl and are checked against the LSH band index of the PRIOR
+    corpus (the other 3/4).  Prior text is shingled only for candidate
+    ids; buckets over 64 prior members are dropped (none here).  The
+    oracle is the exact cross-side Jaccard — LSH recall is 1.0 on this
+    corpus (all cross pairs sit at J >= 0.95, deterministic per-pair
+    miss probability < 1e-9)."""
+    from dxa_pagerank_spark.functions.dedup import incremental_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    prior = docs.filter(F.col("doc_id") % 4 != 0)
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    return incremental_near_dups(prior, new, threshold=0.8, max_bucket=64)
+
+
 def q_simhash_near_dup(spark, sf_dir):
     from dxa_pagerank_spark.functions.dedup import simhash_near_dup_pairs
 
@@ -2654,6 +2670,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_stats": q_dedup_exact_stats,
         "ann_topk": q_ann_topk,
         "minhash_dedup": q_minhash_dedup,
+        "incremental_near_dup": q_incremental_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -5786,6 +5803,37 @@ def oracle_sql() -> dict[str, str]:
         # deterministic; the oracle is the exact all-pairs >= 0.8 set.
         # Verified recall = 1.0 on this corpus (all near-dup pairs have
         # J >= 0.9; deterministic per-pair miss probability < 2e-4).
+        # exact cross-side Jaccard between the doc_id%4 split halves;
+        # recall note at q_incremental_near_dup.
+        "incremental_near_dup": """
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                         regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                         ' +'), x -> x <> '') AS t
+              FROM documents),
+            grams AS MATERIALIZED (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN
+                         list_distinct(list_transform(range(1, len(t) - 1),
+                             i -> array_to_string(t[i:i+2], ' ')))
+                     ELSE [array_to_string(t, ' ')] END AS g
+              FROM toks),
+            ex AS MATERIALIZED (SELECT doc_id, unnest(g) AS gram FROM grams),
+            sizes AS MATERIALIZED (
+              SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+            inter AS MATERIALIZED (
+              SELECT a.doc_id AS new_id, b.doc_id AS prior_id, count(*) AS i
+              FROM ex a JOIN ex b ON a.gram = b.gram
+               AND a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
+              GROUP BY 1, 2)
+            SELECT new_id, prior_id,
+                   round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = new_id
+            JOIN sizes sb ON sb.doc_id = prior_id
+            WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8
+        """,
         "minhash_dedup": """
             WITH toks AS MATERIALIZED (
               SELECT doc_id,

@@ -589,3 +589,142 @@ def containment_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental (cross-crawl) near-dup detection
+# --------------------------------------------------------------------------
+
+def _band_key_array(bands: int, rows_per_band: int):
+    """The LSH band-key column: array of b keys, key_b = xxhash64 of the
+    band's r signature values (same construction as lsh_candidates /
+    lsh_candidate_edges_capped)."""
+    return F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[b * rows_per_band + r].cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_band_index(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """The persistent LSH index of a corpus: (doc_id, band, key).
+
+    At production scale this table is STORED (bucketed by (band, key))
+    and appended to per crawl — it is ~b rows of 20 bytes per document,
+    so a 10^12-document corpus indexes in ~10^13 rows / ~200 TB-scale
+    keys vs re-shingling petabytes of text per crawl.  incremental_
+    near_dups accepts it prebuilt for exactly that reason."""
+    sh = shingles(documents, id_col, text_col, n)
+    sigs = minhash_signatures(sh, num_hashes)
+    return sigs.select(
+        "doc_id",
+        F.posexplode(_band_key_array(bands, num_hashes // bands)).alias(
+            "band", "key"
+        ),
+    )
+
+
+def incremental_near_dups(
+    prior_docs: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    max_bucket: int = 64,
+    prior_index: DataFrame | None = None,
+) -> DataFrame:
+    """Which NEW documents near-duplicate a PRIOR corpus — the
+    cross-crawl dedup shape: the prior corpus is touched only through
+    its LSH band index, never re-paired against itself.
+
+    -> (new_id, prior_id, jaccard) with exact shingle Jaccard >=
+    threshold, one row per verified cross pair.
+
+    Scale shape (the reason this exists next to minhash_dedup_pairs):
+      * prior side enters as ``prior_index`` (doc_id, band, key) — the
+        stored table from previous crawls (built here from text only
+        when not supplied).  Prior TEXT is read *only* for candidate
+        ids (left-semi join before shingling), so a crawl adding 0.1%
+        new pages re-reads ~0.1% of the corpus, not all of it.
+      * candidates = new-side band keys equi-joined against the index;
+        buckets whose PRIOR population exceeds ``max_bucket`` are
+        dropped before the join (the stop-bucket law shared with
+        containment_pairs' max_gram_df and mirror detection's
+        max_fp_sites): a million-member boilerplate bucket would fan
+        every colliding new doc out a million ways.  Bucket population
+        is a property of the stored index, so the filter is a pure
+        groupBy on the index — no text involved.
+      * verification = exact Jaccard (jaccard_verify) restricted to
+        candidates; new docs never join each other here — intra-crawl
+        dedup is minhash_dedup_groups' job.
+
+    Recall: identical to one-shot LSH at the same (bands, rows) for
+    every pair outside dropped mega-buckets."""
+    rows_per_band = num_hashes // bands
+    if prior_index is None:
+        prior_index = minhash_band_index(
+            prior_docs, id_col, text_col, n, num_hashes, bands
+        )
+    sh_new = shingles(new_docs, id_col, text_col, n).persist()
+    try:
+        sigs_new = minhash_signatures(sh_new, num_hashes)
+        new_keyed = sigs_new.select(
+            F.col("doc_id").alias("new_id"),
+            F.posexplode(_band_key_array(bands, rows_per_band)).alias(
+                "band", "key"
+            ),
+        )
+        ok_buckets = (
+            prior_index.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("_sz"))
+            .filter(F.col("_sz") <= max_bucket)
+            .select("band", "key")
+        )
+        capped_index = prior_index.select(
+            F.col("doc_id").alias("prior_id"), "band", "key"
+        ).join(ok_buckets, ["band", "key"])
+        cands = (
+            new_keyed.join(capped_index, ["band", "key"])
+            .select("new_id", "prior_id")
+            .distinct()
+        )
+        # prior text is shingled ONLY for candidate ids
+        cand_prior = prior_docs.join(
+            cands.select(F.col("prior_id").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+        sh_prior = shingles(cand_prior, id_col, text_col, n)
+        pairs = cands.select(
+            F.col("new_id").alias("doc_a"), F.col("prior_id").alias("doc_b")
+        )
+        verified = jaccard_verify(
+            sh_new.unionByName(sh_prior), pairs, threshold
+        )
+        return verified.select(
+            F.col("doc_a").alias("new_id"),
+            F.col("doc_b").alias("prior_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    finally:
+        sh_new.unpersist()

@@ -986,6 +986,28 @@ def q_web_scc(spark, sf_dir):
     )
 
 
+def q_web_condensation(spark, sf_dir):
+    """Condensation DAG of the page link graph: every SCC contracted
+    to one vertex, placed at its topological depth (longest path from
+    a root component).  Composes the SCC operator with the bounded
+    max-relaxation level loop (operators/condensation.py); the oracle
+    rebuilds the component DAG from the recursive-CTE closure and
+    takes max walk length per component."""
+    from dxa_pagerank_spark.operators.condensation import (
+        condensation_report,
+    )
+    from dxa_pagerank_spark.operators.scc import (
+        strongly_connected_components,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    edges = _web_edges(spark, sf_dir)
+    labels = strongly_connected_components(spark, edges, vertices=docs)
+    return condensation_report(spark, edges, labels)
+
+
 def q_web_bowtie(spark, sf_dir):
     """Broder bowtie decomposition of the page link graph (core / in /
     out / other, operators/scc.py) — the canonical Common-Crawl
@@ -2627,6 +2649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "site_pagerank": q_site_pagerank,
         "web_scc": q_web_scc,
         "web_bowtie": q_web_bowtie,
+        "web_condensation": q_web_condensation,
         "web_cocitation": q_web_cocitation,
         "web_coupling": q_web_coupling,
         "web_walks": q_web_walks,
@@ -3378,6 +3401,28 @@ _SCC_CLOSURE_SQL = """
 """
 
 _SCC_SQL = _SCC_CLOSURE_SQL + "SELECT id, scc FROM sccs"
+
+# Condensation oracle: contract edges through the SCC labels, then
+# level(c) = longest walk length ending at c in the component DAG
+# (recursive walk CTE terminates because the condensation is acyclic).
+_CONDENSATION_SQL = _SCC_CLOSURE_SQL + """,
+    ce AS MATERIALIZED (
+        SELECT DISTINCT sa.scc AS src, sb.scc AS dst
+        FROM e JOIN sccs sa ON e.src = sa.id
+               JOIN sccs sb ON e.dst = sb.id
+        WHERE sa.scc <> sb.scc),
+    walk AS (
+        SELECT src, dst, 1 AS len FROM ce
+        UNION
+        SELECT w.src, c.dst, w.len + 1 FROM walk w JOIN ce c ON w.dst = c.src),
+    comp AS (SELECT scc, count(*) AS size FROM sccs GROUP BY scc),
+    lvl AS (
+        SELECT comp.scc, coalesce(max(w.len), 0) AS level
+        FROM comp LEFT JOIN walk w ON w.dst = comp.scc
+        GROUP BY comp.scc)
+    SELECT lvl.scc, lvl.level, comp.size
+    FROM lvl JOIN comp USING (scc)
+"""
 
 _BOWTIE_SQL = _SCC_CLOSURE_SQL + """,
     core AS (SELECT scc AS cid FROM sccs
@@ -5892,6 +5937,9 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT id, round(rank, 6) AS rank FROM final",
         "web_scc": _SCC_SQL.format(web_edges=_WEB_EDGES_SQL),
         "web_bowtie": _BOWTIE_SQL.format(web_edges=_WEB_EDGES_SQL),
+        "web_condensation": _CONDENSATION_SQL.format(
+            web_edges=_WEB_EDGES_SQL
+        ),
         "web_cocitation": _COCITATION_SQL.format(
             web_edges=_WEB_EDGES_SQL, cap=_PAIR_DEGREE_CAP
         ),

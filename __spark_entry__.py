@@ -1071,6 +1071,28 @@ def q_web_walks(spark, sf_dir):
     return random_walks(_web_edges(spark, sf_dir), seeds, length=4)
 
 
+def q_pagerank_mc(spark, sf_dir):
+    """Monte Carlo PageRank estimate (Avrachenkov et al. 2007,
+    dangling-termination variant) by 4 deterministic teleport-gated
+    walks per page — the O(m*n/(1-d)) first-pass ranking whose work is
+    independent of iteration count (operators/mcrank.py).  Every
+    sampling decision is the walks-module LCG mix, so the oracle
+    replays the full walk process round by round."""
+    from dxa_pagerank_spark.operators.mcrank import pagerank_monte_carlo
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    return pagerank_monte_carlo(
+        spark,
+        _web_edges(spark, sf_dir),
+        docs,
+        damping=0.85,
+        walks_per_vertex=4,
+        max_length=20,
+    )
+
+
 def q_walk_skipgrams(spark, sf_dir):
     """Skip-gram co-occurrence table with PMI over the deterministic
     walks (operators/walks.py skipgram_cooccurrence — the
@@ -2653,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_cocitation": q_web_cocitation,
         "web_coupling": q_web_coupling,
         "web_walks": q_web_walks,
+        "pagerank_mc": q_pagerank_mc,
         "web_bfs_levels": q_web_bfs_levels,
         "web_landmark_distances": q_web_landmark_distances,
         "mirror_sites": q_mirror_sites,
@@ -3848,6 +3871,52 @@ def _walks_cte(web_edges: str, length: int = 4) -> str:
 def _walks_sql(web_edges: str, length: int = 4) -> str:
     """Unrolled replay of operators/walks.py (see _walks_cte)."""
     return _walks_cte(web_edges, length) + "\n    SELECT * FROM w"
+
+
+def _mc_pagerank_sql(
+    web_edges: str,
+    m: int = 4,
+    max_length: int = 20,
+    damping: float = 0.85,
+) -> str:
+    """Unrolled replay of operators/mcrank.py pagerank_monte_carlo:
+    the same integer continue gate and LCG neighbor choice per round,
+    visit counts over the union of all rounds' frontiers."""
+    thr = int(damping * 2147483647)
+    parts = [
+        f"""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM ({web_edges}) we),
+    s0 AS MATERIALIZED (
+        SELECT doc_id * {m} + t.r AS w, doc_id AS v
+        FROM documents, range({m}) t(r))"""
+    ]
+    for t in range(1, max_length + 1):
+        parts.append(
+            f"""
+    s{t} AS MATERIALIZED (
+        SELECT a.w,
+               min_by(e.dst,
+                 (1103515245 * ((e.dst + 12345 * (a.w + {31 * t}))
+                  % 2147483647)) % 2147483647) AS v
+        FROM s{t - 1} a JOIN e ON a.v = e.src
+        WHERE (1103515245 * ((a.w + {12345 * t}) % 2147483647))
+              % 2147483647 < {thr}
+        GROUP BY a.w)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT v FROM s{t}" for t in range(max_length + 1)
+    )
+    parts.append(
+        f""",
+    visits AS (SELECT v, count(*) AS n FROM ({union}) u GROUP BY v),
+    tot AS (SELECT sum(n)::BIGINT AS t FROM visits)
+    SELECT d.doc_id AS id, coalesce(n, 0)::BIGINT AS n_visits,
+           round(coalesce(n, 0)::DOUBLE / tot.t, 6) AS est_rank
+    FROM documents d LEFT JOIN visits ON d.doc_id = visits.v, tot
+    """
+    )
+    return ",".join(parts[:1] + parts[1:-1]) + parts[-1]
 
 
 def _skipgram_sql(web_edges: str, length: int = 4, window: int = 2) -> str:
@@ -5995,6 +6064,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "web_spam_mass": _spammass_sql(10, _WEB_EDGES_SQL, "id % 50 = 1"),
         "web_walks": _walks_sql(_WEB_EDGES_SQL, length=4),
+        "pagerank_mc": _mc_pagerank_sql(
+            _WEB_EDGES_SQL, m=4, max_length=20, damping=0.85
+        ),
         "walk_skipgrams": _skipgram_sql(_WEB_EDGES_SQL, length=4, window=2),
         "web_bfs_levels": _BFS_SQL.format(web_edges=_WEB_EDGES_SQL),
         "web_landmark_distances": _LANDMARK_SQL.format(

@@ -1093,6 +1093,33 @@ def q_pagerank_mc(spark, sf_dir):
     )
 
 
+def q_crawl_budget(spark, sf_dir):
+    """Per-site fetch-budget apportionment for the next crawl cycle:
+    Hamilton largest-remainder split of a 997-fetch budget across
+    sites, weighted by site-level Monte Carlo PageRank visit counts
+    (integer weights -> the allocation is bit-exact in SQL).  Composes
+    pagerank_monte_carlo with apportion_budget
+    (functions/frontier.py); sum(alloc) == budget exactly."""
+    from dxa_pagerank_spark.functions.frontier import apportion_budget
+    from dxa_pagerank_spark.operators.mcrank import pagerank_monte_carlo
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    mc = pagerank_monte_carlo(
+        spark,
+        _web_edges(spark, sf_dir),
+        docs,
+        damping=0.85,
+        walks_per_vertex=4,
+        max_length=20,
+    )
+    site_w = mc.groupBy(
+        F.floor(F.col("id") / _SITE_BLOCK).cast("long").alias("id")
+    ).agg(F.sum("n_visits").alias("w"))
+    return apportion_budget(site_w, 997)
+
+
 def q_walk_skipgrams(spark, sf_dir):
     """Skip-gram co-occurrence table with PMI over the deterministic
     walks (operators/walks.py skipgram_cooccurrence — the
@@ -2676,6 +2703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_coupling": q_web_coupling,
         "web_walks": q_web_walks,
         "pagerank_mc": q_pagerank_mc,
+        "crawl_budget": q_crawl_budget,
         "web_bfs_levels": q_web_bfs_levels,
         "web_landmark_distances": q_web_landmark_distances,
         "mirror_sites": q_mirror_sites,
@@ -3917,6 +3945,40 @@ def _mc_pagerank_sql(
     """
     )
     return ",".join(parts[:1] + parts[1:-1]) + parts[-1]
+
+
+def _crawl_budget_sql(
+    web_edges: str,
+    budget: int = 997,
+    block: int = 25,
+    m: int = 4,
+    max_length: int = 20,
+    damping: float = 0.85,
+) -> str:
+    """Replay of q_crawl_budget: site-level visit weights from the
+    identical Monte Carlo walk replay (_mc_pagerank_sql), then the
+    Hamilton largest-remainder allocation of functions/frontier.py
+    apportion_budget — floor quotas B*w//W, leftovers to the largest
+    remainders (B*w) % W with ties to the smaller id.  All-integer in
+    HUGEINT, so the replay is bit-exact."""
+    mc = _mc_pagerank_sql(web_edges, m=m, max_length=max_length, damping=damping)
+    return f"""
+    WITH site_w AS MATERIALIZED (
+        SELECT (id // {block})::BIGINT AS id, sum(n_visits)::BIGINT AS w
+        FROM ({mc}) mc GROUP BY 1),
+    tot AS (SELECT sum(w::HUGEINT) AS t FROM site_w),
+    q AS (
+        SELECT id, w,
+               ((({budget}::HUGEINT) * w::HUGEINT) // t)::BIGINT AS fl,
+               (({budget}::HUGEINT) * w::HUGEINT) % t AS rem
+        FROM site_w, tot),
+    lv AS (SELECT {budget} - sum(fl) AS leftover FROM q)
+    SELECT id, w,
+           (fl + CASE WHEN row_number()
+                           OVER (ORDER BY rem DESC, id ASC) <= lv.leftover
+                      THEN 1 ELSE 0 END)::BIGINT AS alloc
+    FROM q, lv
+    """
 
 
 def _skipgram_sql(web_edges: str, length: int = 4, window: int = 2) -> str:
@@ -6066,6 +6128,9 @@ def oracle_sql() -> dict[str, str]:
         "web_walks": _walks_sql(_WEB_EDGES_SQL, length=4),
         "pagerank_mc": _mc_pagerank_sql(
             _WEB_EDGES_SQL, m=4, max_length=20, damping=0.85
+        ),
+        "crawl_budget": _crawl_budget_sql(
+            _WEB_EDGES_SQL, budget=997, block=_SITE_BLOCK
         ),
         "walk_skipgrams": _skipgram_sql(_WEB_EDGES_SQL, length=4, window=2),
         "web_bfs_levels": _BFS_SQL.format(web_edges=_WEB_EDGES_SQL),

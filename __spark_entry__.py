@@ -2055,6 +2055,46 @@ def q_url_canonical(spark, sf_dir):
     return canonicalize_urls(docs)
 
 
+_TRAP_SECTIONS = ["about", "news", "blog", "docs", "shop", "help", "wiki"]
+
+
+def q_crawl_traps(spark, sf_dir):
+    """Crawl-trap detection (functions/traps.py): urls synthesised
+    arithmetically per doc_id — host site{doc_id%20}.test; hosts with
+    doc_id%20==0 are a calendar trap (every page under one numeric
+    template /cal/{d}/{d}), the rest spread over 7 literal sections.
+    The oracle replays the same template rewrite and thresholds in
+    SQL."""
+    from dxa_pagerank_spark.functions.traps import detect_crawl_traps
+
+    i = F.col("doc_id")
+    s = i.cast("string")
+    section = F.element_at(
+        F.array(*[F.lit(x) for x in _TRAP_SECTIONS]),
+        (i % 7 + 1).cast("int"),
+    )
+    url = F.when(
+        i % 20 == 0,
+        F.concat(
+            F.lit("http://site0.test/cal/"),
+            s,
+            F.lit("/"),
+            ((i * 7) % 97).cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("http://site"),
+            (i % 20).cast("string"),
+            F.lit(".test/"),
+            section,
+            F.lit("/"),
+            s,
+        )
+    )
+    docs = _t(spark, sf_dir, "documents").select(url.alias("url"))
+    return detect_crawl_traps(docs, min_pages=10, min_share=0.5)
+
+
 def q_latest_snapshots(spark, sf_dir):
     """Crawl-snapshot merge (functions/snapshots.latest_snapshot):
     every third page is re-crawled one day later with amended text;
@@ -2606,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_masked": q_pii_masked,
         "doc_length_quantiles": q_doc_length_quantiles,
         "url_canonical": q_url_canonical,
+        "crawl_traps": q_crawl_traps,
         "first_seen_dedup": q_first_seen_dedup,
         "audio_decode_stats": q_audio_decode_stats,
         "temperature_mix": q_temperature_mix,
@@ -5389,6 +5430,41 @@ _ANN_TOPK_IVF_SQL = """
 
 # URL canonicalization: input AND expected output are both closed-form
 # arithmetic cases of doc_id (functions/urlnorm.py rules).
+# Crawl traps: replay of q_crawl_traps — the identical arithmetic url
+# synthesis, the functions/traps.py template rewrite (hex runs >= 8 ->
+# {h} first, then digit runs -> {d}, fragment dropped), and the
+# (min_pages=10, min_share=0.5) thresholds.
+_CRAWL_TRAPS_SQL = """
+    WITH u AS (
+        SELECT CASE WHEN doc_id % 20 = 0
+                    THEN 'http://site0.test/cal/' || doc_id || '/'
+                         || ((doc_id * 7) % 97)
+                    ELSE 'http://site' || (doc_id % 20) || '.test/'
+                         || (['about','news','blog','docs','shop','help',
+                              'wiki'])[(doc_id % 7) + 1]
+                         || '/' || doc_id
+               END AS url
+        FROM documents),
+    t AS (
+        SELECT lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS host,
+               regexp_replace(regexp_replace(
+                   regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1),
+                   '[0-9a-fA-F]{8,}', '{h}', 'g'),
+                   '[0-9]+', '{d}', 'g') AS template
+        FROM u),
+    pt AS (SELECT host, template, count(*)::BIGINT AS n_urls
+           FROM t GROUP BY 1, 2),
+    ph AS (SELECT host, sum(n_urls)::BIGINT AS host_pages
+           FROM pt GROUP BY 1)
+    SELECT pt.host, template, n_urls, host_pages,
+           round(n_urls::DOUBLE / host_pages, 6) AS share,
+           (n_urls >= 10 AND n_urls::DOUBLE / host_pages >= 0.5) AS is_trap
+    FROM pt JOIN ph USING (host)
+"""
+
+
 _URL_CANONICAL_SQL = """
     SELECT doc_id,
            CASE doc_id % 4
@@ -6684,6 +6760,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_length_quantiles": _DOC_LENGTH_QUANTILES_SQL,
         "url_canonical": _URL_CANONICAL_SQL,
+        "crawl_traps": _CRAWL_TRAPS_SQL,
         "latest_snapshots": _LATEST_SNAPSHOTS_SQL,
         "training_mix_report": _training_mix_sql(),
         "lm_quality": """

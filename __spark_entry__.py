@@ -2095,6 +2095,16 @@ def q_crawl_traps(spark, sf_dir):
     return detect_crawl_traps(docs, min_pages=10, min_share=0.5)
 
 
+def q_adjacency_compression(spark, sf_dir):
+    """WebGraph-style storage forecast (plans/compression.py) for the
+    synthetic web edge table: Elias gamma/delta coded successor-gap
+    costs vs raw 64-bit adjacency, integer-exact bit lengths via
+    length(bin(gap)) in both engines."""
+    from dxa_pagerank_spark.plans.compression import compression_summary
+
+    return compression_summary(_web_edges(spark, sf_dir))
+
+
 def q_latest_snapshots(spark, sf_dir):
     """Crawl-snapshot merge (functions/snapshots.latest_snapshot):
     every third page is re-crawled one day later with amended text;
@@ -2647,6 +2657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_length_quantiles": q_doc_length_quantiles,
         "url_canonical": q_url_canonical,
         "crawl_traps": q_crawl_traps,
+        "adjacency_compression": q_adjacency_compression,
         "first_seen_dedup": q_first_seen_dedup,
         "audio_decode_stats": q_audio_decode_stats,
         "temperature_mix": q_temperature_mix,
@@ -5430,6 +5441,39 @@ _ANN_TOPK_IVF_SQL = """
 
 # URL canonicalization: input AND expected output are both closed-form
 # arithmetic cases of doc_id (functions/urlnorm.py rules).
+# Adjacency compression: replay of plans/compression.py over the same
+# distinct edge set — first gap dst+1, then successor differences,
+# gamma = 2*blen-1, delta = blen-1 + 2*blen(blen)-1, blen via
+# length(bin(x)) (integer-exact in both engines).
+_ADJ_COMPRESSION_SQL_TMPL = """
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM ({web_edges}) we),
+    g AS (
+        SELECT src,
+               CASE WHEN lag(dst) OVER w IS NULL THEN dst + 1
+                    ELSE dst - lag(dst) OVER w END AS gap
+        FROM e WINDOW w AS (PARTITION BY src ORDER BY dst)),
+    b AS (
+        SELECT src, length(bin(gap)) AS bl,
+               length(bin(length(bin(gap)))) AS bl2
+        FROM g),
+    p AS (
+        SELECT src, count(*)::BIGINT AS deg,
+               sum(2 * bl - 1)::BIGINT AS gb,
+               sum(bl - 1 + 2 * bl2 - 1)::BIGINT AS db
+        FROM b GROUP BY src)
+    SELECT count(*)::BIGINT AS n_sources,
+           sum(deg)::BIGINT AS n_edges,
+           sum(gb)::BIGINT AS gamma_bits,
+           sum(db)::BIGINT AS delta_bits,
+           round(sum(gb)::DOUBLE / sum(deg), 6) AS gamma_bpe,
+           round(sum(db)::DOUBLE / sum(deg), 6) AS delta_bpe,
+           (sum(deg) * 64)::BIGINT AS raw_bits,
+           round((sum(deg) * 64)::DOUBLE / sum(gb), 6) AS gamma_ratio
+    FROM p
+"""
+
+
 # Crawl traps: replay of q_crawl_traps — the identical arithmetic url
 # synthesis, the functions/traps.py template rewrite (hex runs >= 8 ->
 # {h} first, then digit runs -> {d}, fragment dropped), and the
@@ -6761,6 +6805,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_quantiles": _DOC_LENGTH_QUANTILES_SQL,
         "url_canonical": _URL_CANONICAL_SQL,
         "crawl_traps": _CRAWL_TRAPS_SQL,
+        "adjacency_compression": _ADJ_COMPRESSION_SQL_TMPL.format(
+            web_edges=_WEB_EDGES_SQL
+        ),
         "latest_snapshots": _LATEST_SNAPSHOTS_SQL,
         "training_mix_report": _training_mix_sql(),
         "lm_quality": """

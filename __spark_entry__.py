@@ -605,6 +605,24 @@ def q_simhash_dedup_groups(spark, sf_dir):
     return simhash_dedup_groups(spark, _t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """Canonical-document election per near-dup cluster
+    (functions/dedup.py elect_canonical): minhash_dedup_groups
+    clusters weighted by n_chars (most-complete member wins, ties to
+    the smaller id — all-integer comparisons). The oracle composes the
+    groups replay with the same argmax rules."""
+    from dxa_pagerank_spark.functions.dedup import (
+        elect_canonical,
+        minhash_dedup_groups,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    groups = minhash_dedup_groups(spark, docs, threshold=0.8)
+    return elect_canonical(
+        groups, docs.select("doc_id", "n_chars"), weight_col="n_chars"
+    )
+
+
 def q_lang_id(spark, sf_dir):
     from dxa_pagerank_spark.functions.textstats import with_lang_id
 
@@ -2773,6 +2791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_topk": q_term_topk,
         "tfidf_topk": q_tfidf_topk,
         "minhash_dedup_groups": q_minhash_dedup_groups,
+        "dedup_canonical": q_dedup_canonical,
         "simhash_dedup_groups": q_simhash_dedup_groups,
         "ann_topk_lsh": q_ann_topk_lsh,
         "out_degrees": q_out_degrees,
@@ -6898,5 +6917,22 @@ def oracle_sql() -> dict[str, str]:
         # connectivity on this corpus (recall 1.0, same argument as the
         # minhash_dedup oracle note).
         "minhash_dedup_groups": _MINHASH_GROUPS_SQL,
+        "dedup_canonical": f"""
+    WITH j AS MATERIALIZED (
+        SELECT g.doc_id, g.group_id, d.n_chars::BIGINT AS w
+        FROM ({_MINHASH_GROUPS_SQL}) g
+        JOIN documents d USING (doc_id)),
+    wnr AS (
+        SELECT group_id, doc_id AS canonical_id FROM (
+            SELECT group_id, doc_id,
+                   row_number() OVER (PARTITION BY group_id
+                                      ORDER BY w DESC, doc_id ASC) AS rn
+            FROM j) WHERE rn = 1),
+    sz AS (SELECT group_id, count(*)::BIGINT AS group_size
+           FROM j GROUP BY 1)
+    SELECT j.doc_id, j.group_id, wnr.canonical_id,
+           (j.doc_id = wnr.canonical_id) AS is_canonical, sz.group_size
+    FROM j JOIN wnr USING (group_id) JOIN sz USING (group_id)
+    """,
         "simhash_dedup_groups": _simhash_groups_sql(),
     }

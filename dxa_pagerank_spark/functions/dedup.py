@@ -728,3 +728,57 @@ def incremental_near_dups(
         )
     finally:
         sh_new.unpersist()
+
+
+def elect_canonical(
+    groups: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "group_id",
+    weight_col: str = "w",
+) -> DataFrame:
+    """Canonical-document election per dup cluster -> (doc_id,
+    group_id, canonical_id, is_canonical, group_size).
+
+    After near-dup clustering (minhash_dedup_groups /
+    simhash_dedup_groups) a corpus keeps ONE representative per
+    cluster; which one matters — the standard rule is the
+    highest-authority / most-complete member, not an arbitrary min-id.
+    ``weights`` supplies that integer signal per doc (in-link count,
+    n_chars, fetch freshness rank...); the winner is max weight with
+    ties to the smaller id, so the election is exact integer
+    comparison — no float ordering, every engine replays it.
+
+    Physical shape at 100 TB: one doc-keyed equi-join to attach
+    weights, then ONE map-side-combinable aggregation per group — the
+    winner is max(struct(w, -id)), no window over the member table —
+    and a group-keyed join back to members. Cluster size never appears
+    squared anywhere.
+    """
+    j = groups.select(
+        F.col(id_col).alias("doc_id"), F.col(group_col).alias("group_id")
+    ).join(
+        weights.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(weight_col).cast("long").alias("w"),
+        ),
+        "doc_id",
+    )
+    winners = j.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.max(
+            F.struct(F.col("w"), (-F.col("doc_id")).alias("nid"))
+        ).alias("_win"),
+    )
+    winners = winners.select(
+        "group_id",
+        "group_size",
+        (-F.col("_win.nid")).alias("canonical_id"),
+    )
+    return j.join(winners, "group_id").select(
+        "doc_id",
+        "group_id",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_canonical"),
+        "group_size",
+    )

@@ -2113,6 +2113,40 @@ def q_crawl_traps(spark, sf_dir):
     return detect_crawl_traps(docs, min_pages=10, min_share=0.5)
 
 
+def _link_delta_inputs(spark, sf_dir):
+    """Old graph = the synthetic web edges; new graph = a deterministic
+    recrawl perturbation (edges with (src+dst)%13==0 lost, sources
+    doc_id%5==0 gain one arithmetic edge)."""
+    old = _web_edges(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    kept = old.filter((F.col("src") + F.col("dst")) % 13 != 0)
+    added = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 3) % n).alias("dst"),
+    )
+    return old, kept.unionByName(added)
+
+
+def q_link_delta(spark, sf_dir):
+    """Edge-level crawl-to-crawl graph diff (functions/snapshots.py
+    edge_delta): added/removed/kept per (src, dst) under the arithmetic
+    recrawl perturbation the oracle replays."""
+    from dxa_pagerank_spark.functions.snapshots import edge_delta
+
+    old, new = _link_delta_inputs(spark, sf_dir)
+    return edge_delta(old, new)
+
+
+def q_link_delta_report(spark, sf_dir):
+    """1-row rollup of q_link_delta: status counts, affected-source
+    count (what a warm-start recompute must touch), edge churn."""
+    from dxa_pagerank_spark.functions.snapshots import edge_delta_report
+
+    old, new = _link_delta_inputs(spark, sf_dir)
+    return edge_delta_report(old, new)
+
+
 def q_adjacency_compression(spark, sf_dir):
     """WebGraph-style storage forecast (plans/compression.py) for the
     synthetic web edge table: Elias gamma/delta coded successor-gap
@@ -2676,6 +2710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "crawl_traps": q_crawl_traps,
         "adjacency_compression": q_adjacency_compression,
+        "link_delta": q_link_delta,
+        "link_delta_report": q_link_delta_report,
         "first_seen_dedup": q_first_seen_dedup,
         "audio_decode_stats": q_audio_decode_stats,
         "temperature_mix": q_temperature_mix,
@@ -5460,6 +5496,47 @@ _ANN_TOPK_IVF_SQL = """
 
 # URL canonicalization: input AND expected output are both closed-form
 # arithmetic cases of doc_id (functions/urlnorm.py rules).
+# Link delta: replay of q_link_delta — identical perturbation law,
+# set-compare via full outer join.
+_LINK_DELTA_SQL_TMPL = """
+    WITH o AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM ({web_edges}) we),
+    n AS MATERIALIZED (
+        SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM o WHERE (src + dst) % 13 <> 0
+            UNION ALL
+            SELECT doc_id AS src,
+                   (doc_id * 7 + 3) % (SELECT count(*) FROM documents)
+                       AS dst
+            FROM documents WHERE doc_id % 5 = 0) u),
+    d AS (
+        SELECT coalesce(o.src, n.src) AS src,
+               coalesce(o.dst, n.dst) AS dst,
+               CASE WHEN o.src IS NULL THEN 'added'
+                    WHEN n.src IS NULL THEN 'removed'
+                    ELSE 'kept' END AS status
+        FROM o FULL OUTER JOIN n ON o.src = n.src AND o.dst = n.dst)
+"""
+
+_LINK_DELTA_REPORT_TAIL = """
+    SELECT sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)::BIGINT
+               AS n_added,
+           sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)::BIGINT
+               AS n_removed,
+           sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)::BIGINT
+               AS n_kept,
+           count(DISTINCT CASE WHEN status <> 'kept' THEN src END)::BIGINT
+               AS n_affected_sources,
+           round((sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END))
+                 ::DOUBLE
+                 / (sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)
+                    + sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END)),
+                 6) AS edge_churn
+    FROM d
+"""
+
+
 # Adjacency compression: replay of plans/compression.py over the same
 # distinct edge set — first gap dst+1, then successor differences,
 # gamma = 2*blen-1, delta = blen-1 + 2*blen(blen)-1, blen via
@@ -6827,6 +6904,12 @@ def oracle_sql() -> dict[str, str]:
         "adjacency_compression": _ADJ_COMPRESSION_SQL_TMPL.format(
             web_edges=_WEB_EDGES_SQL
         ),
+        "link_delta": _LINK_DELTA_SQL_TMPL.format(web_edges=_WEB_EDGES_SQL)
+        + " SELECT src, dst, status FROM d",
+        "link_delta_report": _LINK_DELTA_SQL_TMPL.format(
+            web_edges=_WEB_EDGES_SQL
+        )
+        + _LINK_DELTA_REPORT_TAIL,
         "latest_snapshots": _LATEST_SNAPSHOTS_SQL,
         "training_mix_report": _training_mix_sql(),
         "lm_quality": """

@@ -115,3 +115,79 @@ def crawl_delta_report(
             / (F.col("n_added") + F.col("n_changed") + F.col("n_unchanged"))
         ).alias("churn"),
     )
+
+
+def edge_delta(
+    old_edges: DataFrame,
+    new_edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Link-graph delta between two crawl cycles -> (src, dst, status)
+    with status in {added, removed, kept}.
+
+    The edge-level companion of crawl_delta (which diffs page CONTENT):
+    what the recrawl changed in the GRAPH is what decides whether
+    yesterday's analytics still stand — it feeds the warm-start paths
+    (operators/pagerank.py initial_ranks, incremental components) and
+    tells an operator how much of the link structure moved. Edge sets
+    are compared as sets (each side deduplicated — multi-anchor
+    multiplicity is a page property, not a graph-delta one).
+
+    Physical shape at 100 TB: one full-outer equi-join on (src, dst) —
+    both sides key-partitioned by the join columns, map-side combine on
+    the distinct. Nothing wider than the edge tables themselves.
+    """
+    o = old_edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().withColumn("_o", F.lit(1))
+    n = new_edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().withColumn("_n", F.lit(1))
+    j = o.join(n, ["src", "dst"], "full_outer")
+    return j.select(
+        "src",
+        "dst",
+        F.when(F.col("_o").isNull(), F.lit("added"))
+        .when(F.col("_n").isNull(), F.lit("removed"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+    )
+
+
+def edge_delta_report(
+    old_edges: DataFrame,
+    new_edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """1-row rollup of edge_delta: counts per status, the affected
+    SOURCE count (sources touching any added/removed edge — the set a
+    warm-start recompute actually has to care about), and edge churn =
+    (added+removed)/|new graph|."""
+    d = edge_delta(old_edges, new_edges, src_col, dst_col)
+    agg = d.agg(
+        F.sum(F.when(F.col("status") == "added", 1).otherwise(0)).alias(
+            "n_added"
+        ),
+        F.sum(
+            F.when(F.col("status") == "removed", 1).otherwise(0)
+        ).alias("n_removed"),
+        F.sum(F.when(F.col("status") == "kept", 1).otherwise(0)).alias(
+            "n_kept"
+        ),
+        F.count_distinct(
+            F.when(F.col("status") != "kept", F.col("src"))
+        ).alias("n_affected_sources"),
+    )
+    return agg.select(
+        "n_added",
+        "n_removed",
+        "n_kept",
+        "n_affected_sources",
+        F.round(
+            (F.col("n_added") + F.col("n_removed"))
+            / (F.col("n_added") + F.col("n_kept")),
+            6,
+        ).alias("edge_churn"),
+    )

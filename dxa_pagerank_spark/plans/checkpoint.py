@@ -166,6 +166,49 @@ class CheckpointManager:
         )
         return ranks, meta
 
+    def prune(self, spark: SparkSession, keep_last: int = 2) -> list[int]:
+        """Retention for the rank snapshots: drop every committed
+        iteration of THIS run except the newest ``keep_last``.
+
+        Snapshots dominate checkpoint storage (O(V) rows each, one per
+        checkpointed superstep — a 40-round converged run keeps 8
+        full rank tables at interval 5); resume only ever reads the
+        newest committed one, so everything older is dead weight. The
+        metrics rows are kept in full — they are the run's trajectory
+        history and are O(1) per checkpoint. Partition-aligned deletes
+        only: whole (run_id, iteration) partitions, metadata-only under
+        Iceberg, directory removal under the parquet layout. Returns
+        the pruned iterations (ascending)."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        m = self._metrics_rows(spark)
+        if m is None:
+            return []
+        its = sorted(
+            r["iteration"]
+            for r in m.select("iteration").distinct().collect()
+        )
+        io = self._backend(spark)
+        # metrics keep the FULL history, so intersect with snapshots
+        # actually on disk — repeated prune calls are no-ops (the scan
+        # touches only the partition column: partition pruning)
+        existing = {
+            r["iteration"]
+            for r in io.read(spark, _RANKS_TABLE)
+            .filter(F.col("run_id") == self.run_id)
+            .select("iteration")
+            .distinct()
+            .collect()
+        }
+        drop = [it for it in its[:-keep_last] if it in existing]
+        if not drop:
+            return []
+        io.delete_partitions(
+            _RANKS_TABLE,
+            [{"run_id": self.run_id, "iteration": it} for it in drop],
+        )
+        return drop
+
     def metrics_df(self, spark: SparkSession) -> DataFrame:
         """The metrics history as a DataFrame (schemas.METRICS columns)."""
         from ..schemas import METRICS

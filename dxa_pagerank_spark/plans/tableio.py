@@ -78,6 +78,23 @@ class ParquetTableIO:
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.read.parquet(self._path(table))
 
+    def delete_partitions(
+        self, table: str, partition_values: list[dict]
+    ) -> int:
+        """Drop whole partitions (retention/pruning). Each dict maps
+        partition column -> value IN THE TABLE'S PARTITION ORDER (the
+        hive dir nesting). Returns how many existed and were removed."""
+        import shutil
+
+        removed = 0
+        for pv in partition_values:
+            segs = [f"{k}={v}" for k, v in pv.items()]
+            p = os.path.join(self._path(table), *segs)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+                removed += 1
+        return removed
+
 
 class IcebergTableIO:
     """Iceberg tables in a hadoop-type catalog rooted at `warehouse`.
@@ -138,6 +155,26 @@ class IcebergTableIO:
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
         return spark.table(self._name(table))
+
+    def delete_partitions(
+        self, table: str, partition_values: list[dict]
+    ) -> int:
+        """Partition-aligned DELETE — metadata-only in Iceberg (drops
+        whole data files, no rewrite) because every predicate matches
+        the partition spec exactly."""
+        if not self.exists(table) or not partition_values:
+            return 0
+        preds = []
+        for pv in partition_values:
+            conj = " AND ".join(
+                f"{k} = '{v}'" if isinstance(v, str) else f"{k} = {v}"
+                for k, v in pv.items()
+            )
+            preds.append(f"({conj})")
+        self._spark.sql(
+            f"DELETE FROM {self._name(table)} WHERE {' OR '.join(preds)}"
+        )
+        return len(partition_values)
 
 
 def make_tableio(

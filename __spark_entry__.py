@@ -2147,6 +2147,21 @@ def q_link_delta_report(spark, sf_dir):
     return edge_delta_report(old, new)
 
 
+def q_rmat_degree_histogram(spark, sf_dir):
+    """R-MAT generator (datagen_rmat.py — Graph500 quadrant law,
+    portable quadratic-mix draws) exercised end-to-end: out-degree
+    histogram of the scale-10 / edge-factor-8 graph. The oracle
+    regenerates every edge bit-for-bit in SQL. sf-independent by
+    design (the generator is the thing under test)."""
+    from dxa_pagerank_spark.datagen_rmat import rmat_edges
+
+    edges = rmat_edges(spark, scale=10, edge_factor=8, seed=3)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    return deg.groupBy("out_deg").agg(
+        F.count(F.lit(1)).alias("n_sources")
+    )
+
+
 def q_adjacency_compression(spark, sf_dir):
     """WebGraph-style storage forecast (plans/compression.py) for the
     synthetic web edge table: Elias gamma/delta coded successor-gap
@@ -2712,6 +2727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adjacency_compression": q_adjacency_compression,
         "link_delta": q_link_delta,
         "link_delta_report": q_link_delta_report,
+        "rmat_degree_histogram": q_rmat_degree_histogram,
         "first_seen_dedup": q_first_seen_dedup,
         "audio_decode_stats": q_audio_decode_stats,
         "temperature_mix": q_temperature_mix,
@@ -5496,6 +5512,42 @@ _ANN_TOPK_IVF_SQL = """
 
 # URL canonicalization: input AND expected output are both closed-form
 # arithmetic cases of doc_id (functions/urlnorm.py rules).
+def _rmat_hist_sql(scale: int, edge_factor: int, seed: int) -> str:
+    """Bit-exact replay of datagen_rmat.rmat_edges + the degree
+    histogram: same quadratic-mix draw per (edge, level), same quadrant
+    thresholds, same bit placement."""
+    from dxa_pagerank_spark.datagen_rmat import A, B, C, _thresholds
+
+    m = edge_factor << scale
+    ta, tab, tabc = _thresholds(A, B, C)
+    return f"""
+    WITH k AS (
+        SELECT e.range AS e, l.range AS l,
+               (e.range * {scale} + l.range + {seed})::BIGINT AS k
+        FROM range({m}) e, range({scale}) l),
+    d AS (
+        SELECT e, l,
+               (((((k * k) % 2147483647) + k) % 2147483648)
+                * 2654435761) % 4294967296 AS u
+        FROM k),
+    edges AS (
+        SELECT e,
+               sum(CASE WHEN u >= {tab}
+                        THEN (1::BIGINT << ({scale} - 1 - l))
+                        ELSE 0 END)::BIGINT AS src,
+               sum(CASE WHEN (u < {ta})
+                             OR (u >= {tab} AND u < {tabc})
+                        THEN 0
+                        ELSE (1::BIGINT << ({scale} - 1 - l))
+                   END)::BIGINT AS dst
+        FROM d GROUP BY e),
+    deg AS (SELECT src, count(*)::BIGINT AS out_deg
+            FROM edges GROUP BY src)
+    SELECT out_deg, count(*)::BIGINT AS n_sources
+    FROM deg GROUP BY out_deg
+    """
+
+
 # Link delta: replay of q_link_delta — identical perturbation law,
 # set-compare via full outer join.
 _LINK_DELTA_SQL_TMPL = """
@@ -6910,6 +6962,9 @@ def oracle_sql() -> dict[str, str]:
             web_edges=_WEB_EDGES_SQL
         )
         + _LINK_DELTA_REPORT_TAIL,
+        "rmat_degree_histogram": _rmat_hist_sql(
+            scale=10, edge_factor=8, seed=3
+        ),
         "latest_snapshots": _LATEST_SNAPSHOTS_SQL,
         "training_mix_report": _training_mix_sql(),
         "lm_quality": """

@@ -61,16 +61,24 @@ def rmat_edges(
     c: float = C,
     seed: int = 0,
     num_partitions: int | None = None,
+    hash_fn: str = "portable",
 ) -> DataFrame:
     """(src, dst) R-MAT edge table, 2^scale vertices,
     edge_factor * 2^scale edges — deterministic in (scale, edge_factor,
-    a, b, c, seed)."""
+    a, b, c, seed, hash_fn).
+
+    hash_fn='portable' (default) is the SQL/NumPy-replayable quadratic
+    mix, exact up to m*scale < 2^31 draws; hash_fn='xxhash64' uses the
+    built-in avalanche hash — not replayable outside Spark, but
+    alias-free at any scale (the bench-input form)."""
     m = edge_factor << scale
-    if m * scale + seed >= _FOLD:
+    if hash_fn == "portable" and m * scale + seed >= _FOLD:
         raise ValueError(
             "m*scale >= 2^31: draws would alias under the portable hash; "
-            "use a smaller scale or swap in xxhash64 (see module doc)"
+            "use hash_fn='xxhash64' (see module doc)"
         )
+    if hash_fn not in ("portable", "xxhash64"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     ta, tab, tabc = _thresholds(a, b, c)
     e = (
         spark.range(0, m, 1, num_partitions)
@@ -80,9 +88,14 @@ def rmat_edges(
     src = F.lit(0).cast("long")
     dst = F.lit(0).cast("long")
     for lvl in range(scale):
-        k = F.col("e") * scale + F.lit(lvl) + F.lit(seed)
-        mixed = F.pmod(F.pmod(k * k, F.lit(_P)) + k, F.lit(_FOLD))
-        u = F.pmod(mixed * F.lit(KNUTH), F.lit(MOD))
+        if hash_fn == "xxhash64":
+            u = F.pmod(
+                F.xxhash64(F.col("e"), F.lit(lvl), F.lit(seed)), F.lit(MOD)
+            )
+        else:
+            k = F.col("e") * scale + F.lit(lvl) + F.lit(seed)
+            mixed = F.pmod(F.pmod(k * k, F.lit(_P)) + k, F.lit(_FOLD))
+            u = F.pmod(mixed * F.lit(KNUTH), F.lit(MOD))
         sbit = F.when(u < F.lit(tab), F.lit(0)).otherwise(F.lit(1))
         dbit = F.when(
             (u < F.lit(ta)) | ((u >= F.lit(tab)) & (u < F.lit(tabc))),

@@ -46,10 +46,18 @@ N = int(os.environ.get("SCALING_N", "10000000"))
 ROUNDS = int(os.environ.get("SCALING_ROUNDS", "12"))
 CORES = [int(c) for c in os.environ.get("SCALING_CORES", "2,8,32").split(",")]
 LOOPS = os.environ.get("SCALING_LOOPS", "csr,df").split(",")
+# graph law: "ref" = the reference generator's near-uniform degrees;
+# "rmat" = Graph500 R-MAT power-law hubs (datagen_rmat, xxhash64 draws)
+# — the SKEWED-input scaling leg (N must be a power of two; edge count
+# = SCALING_EF * N)
+GRAPH = os.environ.get("SCALING_GRAPH", "ref")
+EDGE_FACTOR = int(os.environ.get("SCALING_EF", "16"))
 PARITY_N = 10_000_000  # draw-parity generation at the reference's scale
 
 
 def cache_path(n: int) -> str:
+    if GRAPH == "rmat":
+        return f"/tmp/dxa_bench_edges_rmat{EDGE_FACTOR}_n{n}"
     tag = "parity" if n == PARITY_N else "fast"
     return f"/tmp/dxa_bench_edges_{tag}_n{n}"
 
@@ -61,7 +69,17 @@ def ensure_cache(n: int) -> None:
     from dxa_pagerank_spark.session import get_spark
 
     spark = get_spark(app_name="scaling_gen", cores=32, shuffle_partitions=32)
-    if n == PARITY_N:
+    if GRAPH == "rmat":
+        from dxa_pagerank_spark.datagen_rmat import rmat_edges
+
+        scale = n.bit_length() - 1
+        if (1 << scale) != n:
+            raise SystemExit("SCALING_GRAPH=rmat needs power-of-two SCALING_N")
+        edges = rmat_edges(
+            spark, scale, EDGE_FACTOR, seed=42, hash_fn="xxhash64",
+            num_partitions=96,
+        )
+    elif n == PARITY_N:
         # the reference's exact published graph: N=1e7, S=2 peers,
         # locality 0.8, meanInDeg 6 (README.md:63-71), draw-parity replay
         from dxa_pagerank_spark.datagen_parity import synthetic_edges_distributed

@@ -66,3 +66,21 @@ def test_draw_alias_guard():
 def test_bad_probabilities_raise():
     with pytest.raises(ValueError):
         rmat_edges_numpy(scale=4, edge_factor=2, a=0.6, b=0.3, c=0.2)
+
+
+def test_xxhash_mode_in_range_skewed_and_shuffle_free(spark):
+    df = rmat_edges(spark, scale=10, edge_factor=8, hash_fn="xxhash64")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+    pdf = df.toPandas()
+    n = 1 << 10
+    assert pdf["src"].between(0, n - 1).all()
+    assert pdf["dst"].between(0, n - 1).all()
+    deg = pdf.groupby("src").size()
+    assert deg.max() > 10 * deg.mean()
+
+
+def test_xxhash_mode_has_no_alias_bound(spark):
+    # scale past the portable guard must NOT raise in xxhash mode
+    df = rmat_edges(spark, scale=28, edge_factor=16, hash_fn="xxhash64")
+    assert df.limit(1).count() == 1

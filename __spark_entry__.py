@@ -2148,14 +2148,15 @@ def q_link_delta_report(spark, sf_dir):
 
 
 def q_rmat_degree_histogram(spark, sf_dir):
-    """R-MAT generator (datagen_rmat.py — Graph500 quadrant law,
-    portable quadratic-mix draws) exercised end-to-end: out-degree
-    histogram of the scale-10 / edge-factor-8 graph. The oracle
-    regenerates every edge bit-for-bit in SQL. sf-independent by
-    design (the generator is the thing under test)."""
-    from dxa_pagerank_spark.datagen_rmat import rmat_edges
+    """Out-degree histogram of the deterministic R-MAT heavy-tail
+    graph (datagen.rmat_edges_df — the q_rmat_skew input, viewed as
+    the full distribution rather than the 1-row skew profile). The
+    oracle regenerates every edge bit-for-bit (shared _rmat_edges_sql
+    fragment). sf-independent by design (the generator is the thing
+    under test)."""
+    from dxa_pagerank_spark.datagen import rmat_edges_df
 
-    edges = rmat_edges(spark, scale=10, edge_factor=8, seed=3)
+    edges = rmat_edges_df(spark, scale=10, n_edges=8192, seed=3)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     return deg.groupBy("out_deg").agg(
         F.count(F.lit(1)).alias("n_sources")
@@ -5512,37 +5513,13 @@ _ANN_TOPK_IVF_SQL = """
 
 # URL canonicalization: input AND expected output are both closed-form
 # arithmetic cases of doc_id (functions/urlnorm.py rules).
-def _rmat_hist_sql(scale: int, edge_factor: int, seed: int) -> str:
-    """Bit-exact replay of datagen_rmat.rmat_edges + the degree
-    histogram: same quadratic-mix draw per (edge, level), same quadrant
-    thresholds, same bit placement."""
-    from dxa_pagerank_spark.datagen_rmat import A, B, C, _thresholds
-
-    m = edge_factor << scale
-    ta, tab, tabc = _thresholds(A, B, C)
+def _rmat_hist_sql(scale: int, n_edges: int, seed: int) -> str:
+    """Replay of q_rmat_degree_histogram: the shared bit-exact edge
+    regeneration (_rmat_edges_sql) plus the two-level degree rollup."""
     return f"""
-    WITH k AS (
-        SELECT e.range AS e, l.range AS l,
-               (e.range * {scale} + l.range + {seed})::BIGINT AS k
-        FROM range({m}) e, range({scale}) l),
-    d AS (
-        SELECT e, l,
-               (((((k * k) % 2147483647) + k) % 2147483648)
-                * 2654435761) % 4294967296 AS u
-        FROM k),
-    edges AS (
-        SELECT e,
-               sum(CASE WHEN u >= {tab}
-                        THEN (1::BIGINT << ({scale} - 1 - l))
-                        ELSE 0 END)::BIGINT AS src,
-               sum(CASE WHEN (u < {ta})
-                             OR (u >= {tab} AND u < {tabc})
-                        THEN 0
-                        ELSE (1::BIGINT << ({scale} - 1 - l))
-                   END)::BIGINT AS dst
-        FROM d GROUP BY e),
+    WITH e AS MATERIALIZED ({_rmat_edges_sql(scale, n_edges, seed)}),
     deg AS (SELECT src, count(*)::BIGINT AS out_deg
-            FROM edges GROUP BY src)
+            FROM e GROUP BY src)
     SELECT out_deg, count(*)::BIGINT AS n_sources
     FROM deg GROUP BY out_deg
     """
@@ -6963,7 +6940,7 @@ def oracle_sql() -> dict[str, str]:
         )
         + _LINK_DELTA_REPORT_TAIL,
         "rmat_degree_histogram": _rmat_hist_sql(
-            scale=10, edge_factor=8, seed=3
+            scale=10, n_edges=8192, seed=3
         ),
         "latest_snapshots": _LATEST_SNAPSHOTS_SQL,
         "training_mix_report": _training_mix_sql(),

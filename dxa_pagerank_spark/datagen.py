@@ -283,23 +283,52 @@ def edges_to_spark(spark, src: np.ndarray, dst: np.ndarray, partitions: int | No
     return df
 
 
-def rmat_edges_df(spark, scale: int, n_edges: int, seed: int = 0):
+def rmat_edges_df(
+    spark,
+    scale: int,
+    n_edges: int,
+    seed: int = 0,
+    hash_fn: str = "portable",
+    num_partitions: int | None = None,
+):
     """The same R-MAT law as ``rmat_edges`` built as a pure Spark
     column program over ``spark.range(n_edges)`` — distributed
     generation with zero data movement (each partition materializes
-    its own edge range; pinned equal to the numpy form in pytest)."""
+    its own edge range; pinned equal to the numpy form in pytest).
+
+    hash_fn='portable' (default) is the SQL/NumPy-replayable LCG-mix
+    draw above; it is exact while t * 2654435761 stays in signed 64
+    bits, i.e. n_edges ≤ ~3.4e9. hash_fn='xxhash64' swaps the built-in
+    avalanche hash for the draw — not replayable outside Spark, but
+    unbounded (the Graph500-scale-30+ bench-input form)."""
     from pyspark.sql import functions as F
 
-    df = spark.range(n_edges).select(F.col("id").alias("t"))
+    if hash_fn not in ("portable", "xxhash64"):
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    if hash_fn == "portable" and n_edges * 2654435761 >= (1 << 63):
+        raise ValueError(
+            "n_edges too large for the portable draw (t*KNUTH overflows "
+            "int64); use hash_fn='xxhash64'"
+        )
+    df = (
+        spark.range(0, n_edges, 1, num_partitions)
+        if num_partitions
+        else spark.range(n_edges)
+    ).select(F.col("id").alias("t"))
     src = F.lit(0).cast("long")
     dst = F.lit(0).cast("long")
     t = F.col("t")
     for level in range(scale):
-        inner = (
-            t * F.lit(2654435761)
-            + F.lit(_RMAT_B + seed + level * 40503)
-        ) % F.lit(_RMAT_P)
-        h = ((F.lit(_RMAT_A) * inner) % F.lit(_RMAT_P)) % F.lit(100)
+        if hash_fn == "xxhash64":
+            h = F.pmod(
+                F.xxhash64(t, F.lit(level), F.lit(seed)), F.lit(100)
+            )
+        else:
+            inner = (
+                t * F.lit(2654435761)
+                + F.lit(_RMAT_B + seed + level * 40503)
+            ) % F.lit(_RMAT_P)
+            h = ((F.lit(_RMAT_A) * inner) % F.lit(_RMAT_P)) % F.lit(100)
         bit_s = (h >= 76).cast("long")
         bit_d = (((h >= 57) & (h < 76)) | (h >= 95)).cast("long")
         src = src * 2 + bit_s

@@ -47,9 +47,9 @@ ROUNDS = int(os.environ.get("SCALING_ROUNDS", "12"))
 CORES = [int(c) for c in os.environ.get("SCALING_CORES", "2,8,32").split(",")]
 LOOPS = os.environ.get("SCALING_LOOPS", "csr,df").split(",")
 # graph law: "ref" = the reference generator's near-uniform degrees;
-# "rmat" = Graph500 R-MAT power-law hubs (datagen_rmat, xxhash64 draws)
-# — the SKEWED-input scaling leg (N must be a power of two; edge count
-# = SCALING_EF * N)
+# "rmat" = Graph500 R-MAT power-law hubs (datagen.rmat_edges_df) — the
+# SKEWED-input scaling leg (N must be a power of two; edge count =
+# SCALING_EF * N)
 GRAPH = os.environ.get("SCALING_GRAPH", "ref")
 EDGE_FACTOR = int(os.environ.get("SCALING_EF", "16"))
 PARITY_N = 10_000_000  # draw-parity generation at the reference's scale
@@ -70,14 +70,13 @@ def ensure_cache(n: int) -> None:
 
     spark = get_spark(app_name="scaling_gen", cores=32, shuffle_partitions=32)
     if GRAPH == "rmat":
-        from dxa_pagerank_spark.datagen_rmat import rmat_edges
+        from dxa_pagerank_spark.datagen import rmat_edges_df
 
         scale = n.bit_length() - 1
         if (1 << scale) != n:
             raise SystemExit("SCALING_GRAPH=rmat needs power-of-two SCALING_N")
-        edges = rmat_edges(
-            spark, scale, EDGE_FACTOR, seed=42, hash_fn="xxhash64",
-            num_partitions=96,
+        edges = rmat_edges_df(
+            spark, scale, EDGE_FACTOR * n, seed=42, num_partitions=96
         )
     elif n == PARITY_N:
         # the reference's exact published graph: N=1e7, S=2 peers,

@@ -156,3 +156,31 @@ def test_rmat_spark_matches_numpy(spark):
     deg = Counter(dst.tolist())
     assert max(deg.values()) > 5 * (len(dst) / len(deg))
     assert src.max() < 2**8 and dst.max() < 2**8 and src.min() >= 0
+
+
+def test_rmat_xxhash_mode_skewed_in_range_shuffle_free(spark):
+    """hash_fn='xxhash64' (the unbounded bench-input draw): ids stay in
+    range, the tail stays heavy, and the plan stays a shuffle-free pure
+    column program."""
+    from dxa_pagerank_spark.datagen import rmat_edges_df
+
+    df = rmat_edges_df(spark, scale=10, n_edges=8192, hash_fn="xxhash64")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+    pdf = df.toPandas()
+    n = 1 << 10
+    assert pdf["src"].between(0, n - 1).all()
+    assert pdf["dst"].between(0, n - 1).all()
+    deg = pdf.groupby("src").size()
+    assert deg.max() > 5 * deg.mean()
+
+
+def test_rmat_portable_overflow_guard_and_bad_hash_fn(spark):
+    import pytest
+
+    from dxa_pagerank_spark.datagen import rmat_edges_df
+
+    with pytest.raises(ValueError, match="overflows int64"):
+        rmat_edges_df(spark, scale=33, n_edges=1 << 33)
+    with pytest.raises(ValueError, match="unknown hash_fn"):
+        rmat_edges_df(spark, scale=4, n_edges=16, hash_fn="md5")

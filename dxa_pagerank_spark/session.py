@@ -33,9 +33,23 @@ def get_spark(
     """
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or cores
+    builder = SparkSession.builder
+    # Master resolution, in precedence order:
+    #   1. SPARK_GRAFT_MASTER env — explicit override (tests/bench legs);
+    #   2. the spark-submit launcher's --master: when the driver runs
+    #      under spark-submit, PythonRunner exports PYSPARK_GATEWAY_PORT
+    #      and the launcher JVM already holds spark.master — forcing
+    #      local[cores] here would silently turn a cluster submit
+    #      (e.g. --master local-cluster[4,2,6144] or a real standalone/
+    #      YARN URL) back into a single-JVM run;
+    #   3. default local[cores] for in-process sessions.
+    master_env = os.environ.get("SPARK_GRAFT_MASTER")
+    if master_env:
+        builder = builder.master(master_env)
+    elif "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(cores))
         .config("spark.sql.adaptive.enabled", "true")

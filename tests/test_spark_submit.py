@@ -50,8 +50,11 @@ def _build_pyfiles_zip(dest: str) -> str:
     return zip_path
 
 
-def _submit(tmp_path, zip_path: str, job_copy: str, cores: int) -> dict[int, float]:
-    out = str(tmp_path / f"out_{cores}")
+def _submit(
+    tmp_path, zip_path: str, job_copy: str, cores: int, master: str | None = None
+) -> dict[int, float]:
+    master = master or f"local[{cores}]"
+    out = str(tmp_path / f"out_{master.replace('[', '_').replace(']', '').replace(',', '_')}")
     env = {
         k: v
         for k, v in os.environ.items()
@@ -61,7 +64,7 @@ def _submit(tmp_path, zip_path: str, job_copy: str, cores: int) -> dict[int, flo
     proc = subprocess.run(
         [
             SPARK_SUBMIT,
-            "--master", f"local[{cores}]",
+            "--master", master,
             "--py-files", zip_path,
             job_copy,
             "40", "0.85", "1e-10", "30", "true",
@@ -118,3 +121,40 @@ def test_spark_submit_pyfiles_two_parallelism_levels(tmp_path):
     # is 1e-6; the engine is deterministic well past that)
     for k, v in ranks_small.items():
         assert abs(v - ranks_big[k]) < 1e-9, (k, v, ranks_big[k])
+
+
+@pytest.mark.skipif(
+    not os.path.exists(SPARK_SUBMIT), reason="spark-submit not on this box"
+)
+def test_spark_submit_local_cluster_n_and_4n_executors(tmp_path):
+    """north_rule, taken literally: the job submits unchanged onto a
+    MULTI-EXECUTOR cluster at two cluster sizes (N and 4N executors) and
+    produces identical per-vertex ranks.
+
+    `local-cluster[E, c, mem]` spawns E real standalone-mode executor
+    JVMs (separate processes and heaps; shuffle blocks and broadcasts
+    cross JVM boundaries) — the sandbox's closest realization of a
+    multi-executor cluster. The package still ships via --py-files only;
+    get_spark must respect the launcher's master rather than forcing
+    local[cores] (dxa_pagerank_spark/session.py master resolution).
+    Throughput at these two cluster sizes is measured by
+    scripts/cluster_scaling.py (BENCH.md); this test pins the
+    correctness half: determinism across executor counts.
+    """
+    zip_path = _build_pyfiles_zip(str(tmp_path))
+    job_copy = str(tmp_path / "pagerank_job.py")
+    shutil.copy(os.path.join(REPO, "jobs", "pagerank_job.py"), job_copy)
+
+    ranks_1 = _submit(
+        tmp_path, zip_path, job_copy, cores=2, master="local-cluster[1,2,1536]"
+    )
+    ranks_4 = _submit(
+        tmp_path, zip_path, job_copy, cores=8, master="local-cluster[4,2,1536]"
+    )
+
+    assert len(ranks_1) == 40
+    assert ranks_1.keys() == ranks_4.keys()
+    assert abs(sum(ranks_1.values()) - 1.0) < 1e-9
+    assert abs(sum(ranks_4.values()) - 1.0) < 1e-9
+    for k, v in ranks_1.items():
+        assert abs(v - ranks_4[k]) < 1e-9, (k, v, ranks_4[k])

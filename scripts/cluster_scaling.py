@@ -67,8 +67,19 @@ EXECUTORS = [
 CORES_PER = int(os.environ.get("CLUSTER_CORES_PER", "2"))
 EXEC_MB = int(os.environ.get("CLUSTER_EXEC_MB", "6144"))
 LOOPS = os.environ.get("CLUSTER_LOOPS", "df").split(",")
+# graph law: "ref" = the reference generator's near-uniform degrees
+# (fast same-law generator); "rmat" = Graph500 power-law hubs — the
+# skew x executors cell of the evidence matrix (N must be a power of
+# two; edge count = CLUSTER_EF * N). Cache paths match
+# scripts/scaling_bench.py so the graphs are shared between harnesses.
+GRAPH = os.environ.get("CLUSTER_GRAPH", "ref")
+EDGE_FACTOR = int(os.environ.get("CLUSTER_EF", "16"))
 OUT = os.path.join(REPO, "bench_runs", "sessionC-cluster.jsonl")
-CACHE = f"/tmp/dxa_cluster_edges_fast_n{N}"
+CACHE = (
+    f"/tmp/dxa_bench_edges_rmat{EDGE_FACTOR}_n{N}"
+    if GRAPH == "rmat"
+    else f"/tmp/dxa_cluster_edges_fast_n{N}"
+)
 
 
 def ensure_cache() -> None:
@@ -77,12 +88,23 @@ def ensure_cache() -> None:
     sys.path.insert(0, REPO)
     import pandas as pd
 
-    from dxa_pagerank_spark.datagen import fast_synthetic_edges
     from dxa_pagerank_spark.session import get_spark
 
     spark = get_spark(app_name="cluster_gen", cores=32, shuffle_partitions=32)
-    src, dst = fast_synthetic_edges(N, 6, seed=42)
-    edges = spark.createDataFrame(pd.DataFrame({"src": src, "dst": dst}))
+    if GRAPH == "rmat":
+        from dxa_pagerank_spark.datagen import rmat_edges_df
+
+        scale = N.bit_length() - 1
+        if (1 << scale) != N:
+            raise SystemExit("CLUSTER_GRAPH=rmat needs power-of-two CLUSTER_N")
+        edges = rmat_edges_df(
+            spark, scale, EDGE_FACTOR * N, seed=42, num_partitions=96
+        )
+    else:
+        from dxa_pagerank_spark.datagen import fast_synthetic_edges
+
+        src, dst = fast_synthetic_edges(N, 6, seed=42)
+        edges = spark.createDataFrame(pd.DataFrame({"src": src, "dst": dst}))
     tmp = CACHE + ".tmp"
     edges.repartition(96).write.mode("overwrite").parquet(tmp)
     os.rename(tmp, CACHE)

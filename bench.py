@@ -8,12 +8,15 @@ Prints ONE JSON line:
 
 The BASELINE.json target metric is edges/sec per superstep on the
 PageRank hot loop; measured here on a deterministic seeded synthetic
-graph (N=1e6, meanInDeg 6 => ~5.3M unique edges — the reference's law,
+graph (N=1e7 = the reference's published scale, meanInDeg 6 => ~55M
+unique edges — the reference's law,
 CreateSyntheticGraphSeed.java:145-147) over fixed supersteps with the
-CSR-in-Arrow kernel (steady = min of post-warm-up rounds; the df loop
-is timed alongside), plus the sf-dir relational/graph suite. Scaling
-evidence (2/8/32 cores) is produced by scripts/scaling_bench.py ->
-BENCH.md.
+CSR-in-Arrow kernel (median + min of post-warm-up rounds; the general
+df loop is timed alongside in its own fresh JVM), plus the sf-dir
+relational/graph suite. Scaling evidence (2/8/32 cores, weak scaling,
+R-MAT skew, and N->4N real executors via local-cluster) is produced by
+scripts/scaling_bench.py, scripts/weak_scaling.py, and
+scripts/cluster_scaling.py -> BENCH.md.
 """
 
 from __future__ import annotations
@@ -58,6 +61,39 @@ def _synth_edges_parquet(spark):
         ).parquet(tmp)
         os.rename(tmp, SYNTH_CACHE)
     return spark.read.parquet(SYNTH_CACHE)
+
+
+def _df_synth_worker() -> None:
+    """One fresh JVM for the df synth leg (invoked as a subprocess).
+
+    Measured cause (BENCH.md "df-loop checkpoint storage" + the r03
+    bench runs): after the sf suite + the csr loop have churned the
+    shared JVM's heap, df rounds degrade 2-4x within the leg
+    (round_ms rising monotonically), while a fresh JVM at local[32]
+    holds ~5-6 s/round (sessionM). Every scaling session in BENCH.md
+    already measures one JVM per leg; this applies the same
+    methodology to the bench suite's df leg.
+    """
+    import statistics
+
+    from dxa_pagerank_spark.operators.pagerank import pagerank
+    from dxa_pagerank_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="dxa_bench_df_synth", cores=CPUS, shuffle_partitions=CPUS
+    )
+    synth = spark.read.parquet(SYNTH_CACHE)
+    t0 = time.monotonic()
+    res = pagerank(
+        spark, synth, damping=0.85, threshold=1e-15,
+        max_rounds=DF_ROUNDS, num_partitions=CPUS,
+    )
+    wall = time.monotonic() - t0
+    print(
+        "DFROW"
+        + json.dumps({"wall": round(wall, 3), "round_ms": res.round_ms})
+    )
+    spark.stop()
 
 
 def main() -> None:
@@ -208,15 +244,36 @@ def main() -> None:
     per_round_min = min(steady) / 1000.0
     timings["pagerank_csr_synth"] = round(synth_total, 3)
 
-    t0 = time.monotonic()
-    df_res = pagerank(
-        spark, synth, damping=0.85, threshold=1e-15,
-        max_rounds=DF_ROUNDS, num_partitions=CPUS,
-    )
-    timings["pagerank_df_synth"] = round(time.monotonic() - t0, 3)
-    df_steady = (
-        df_res.round_ms[3:] if len(df_res.round_ms) > 3 else df_res.round_ms[-1:]
-    )
+    # df leg in its own JVM (see _df_synth_worker). Falls back to the
+    # in-process measurement if the subprocess fails for any reason —
+    # the bench must always print its JSON line for the driver.
+    df_wall = None
+    df_round_ms: list[int] = []
+    try:
+        import subprocess
+
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--df-synth-worker"],
+            capture_output=True, text=True, timeout=1800,
+            env=dict(os.environ),
+        )
+        for ln in proc.stdout.splitlines():
+            if ln.startswith("DFROW{"):
+                row = json.loads(ln[5:])
+                df_wall = float(row["wall"])
+                df_round_ms = list(row["round_ms"])
+    except Exception:
+        pass
+    if df_wall is None:
+        t0 = time.monotonic()
+        df_res = pagerank(
+            spark, synth, damping=0.85, threshold=1e-15,
+            max_rounds=DF_ROUNDS, num_partitions=CPUS,
+        )
+        df_wall = time.monotonic() - t0
+        df_round_ms = df_res.round_ms
+    timings["pagerank_df_synth"] = round(df_wall, 3)
+    df_steady = df_round_ms[3:] if len(df_round_ms) > 3 else df_round_ms[-1:]
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -241,7 +298,7 @@ def main() -> None:
                     "csr_edges_per_sec_median": round(n_edges / per_round_med),
                     "csr_edges_per_sec_min": round(n_edges / per_round_min),
                     "csr_round_ms": res.round_ms,
-                    "df_round_ms": df_res.round_ms,
+                    "df_round_ms": df_round_ms,
                     "df_edges_per_sec_median": round(
                         n_edges / (statistics.median(df_steady) / 1000.0)
                     ),
@@ -254,5 +311,7 @@ def main() -> None:
     )
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--df-synth-worker" in sys.argv:
+    _df_synth_worker()
+elif __name__ == "__main__":
     main()

@@ -1730,6 +1730,26 @@ def q_rmat_skew(spark, sf_dir):
     return degree_skew_report(spark, edges, direction="in", top_k=10)
 
 
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient curve phi(k) (Zhou-Mondragon / Colizza
+    et al.) of the heavy-tail R-MAT benchmark graph — does the hub
+    club link to itself more densely than chance? One row per degree
+    threshold with club size/edges and phi; exact-integer counts with
+    the single division at output (operators/graphstats.py rich_club).
+    The oracle regenerates the identical edges and replays the
+    histogram-complement cumulative bookkeeping."""
+    from dxa_pagerank_spark.datagen import rmat_edges_df
+    from dxa_pagerank_spark.operators.graphstats import rich_club
+
+    edges = rmat_edges_df(spark, scale=10, n_edges=8192, seed=3)
+    return rich_club(edges).select(
+        "k",
+        "club_nodes",
+        "club_edges",
+        F.round("phi", 6).alias("phi"),
+    )
+
+
 def q_cm_heavy_hitters(spark, sf_dir):
     """Count-Min sketch term counting (functions/cmsketch.py,
     Cormode-Muthukrishnan; width 256, depth 4): point estimates for
@@ -2762,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diversity": q_corpus_diversity,
         "powerlaw_alpha": q_powerlaw_alpha,
         "rmat_skew": q_rmat_skew,
+        "rich_club": q_rich_club,
         "cm_heavy_hitters": q_cm_heavy_hitters,
         "bloom_blocklist": q_bloom_blocklist,
         "fixed_chunks": q_fixed_chunks,
@@ -5192,6 +5213,44 @@ _DEGREE_SKEW_SQL = """
 """
 
 
+# rich_club term-for-term: canonical distinct undirected edges,
+# degrees, per-edge min-degree histogram + node-degree histogram on
+# the merged threshold domain, club counts as cumulative complements,
+# one division at output (graphstats.py rich_club).
+_RICH_CLUB_SQL = """
+    WITH raw AS MATERIALIZED ({edges}),
+    e AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM raw WHERE src <> dst),
+    deg AS MATERIALIZED (
+        SELECT id, count(*) AS d FROM (
+            SELECT a AS id FROM e UNION ALL SELECT b FROM e) v
+        GROUP BY id),
+    em AS (SELECT least(da.d, db.d) AS m, count(*) AS ce
+           FROM e JOIN deg da ON e.a = da.id JOIN deg db ON e.b = db.id
+           GROUP BY 1),
+    nh AS (SELECT d, count(*) AS cn FROM deg GROUP BY d),
+    dom AS (
+        SELECT k, sum(cn) AS cn, sum(ce) AS ce FROM (
+            SELECT d AS k, cn, 0 AS ce FROM nh
+            UNION ALL SELECT m, 0, ce FROM em
+            UNION ALL SELECT 0, 0, 0) u GROUP BY k),
+    cum AS (
+        SELECT k,
+               (SELECT sum(cn) FROM dom)
+                   - sum(cn) OVER (ORDER BY k) AS club_nodes,
+               (SELECT sum(ce) FROM dom)
+                   - sum(ce) OVER (ORDER BY k) AS club_edges
+        FROM dom)
+    SELECT k, club_nodes::BIGINT AS club_nodes,
+           club_edges::BIGINT AS club_edges,
+           round(2.0 * club_edges::DOUBLE
+                 / (club_nodes::DOUBLE * (club_nodes - 1)::DOUBLE), 6)
+               AS phi
+    FROM cum WHERE club_nodes >= 2
+"""
+
+
 # Curation chain in SQL: min-id-per-md5 keep set, then the same quality
 # / token expressions as the doc_quality and doc_stats oracles, then
 # the allow-list and bands, aggregated per lang.
@@ -6666,6 +6725,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rmat_skew": _DEGREE_SKEW_SQL.format(
             web_edges=_rmat_edges_sql(scale=10, n_edges=8192, seed=3)
+        ),
+        "rich_club": _RICH_CLUB_SQL.format(
+            edges=_rmat_edges_sql(scale=10, n_edges=8192, seed=3)
         ),
         "web_mis": _mis_rounds_sql(8, _WEB_EDGES_SQL),
         "web_louvain": _louvain_rounds_sql(2, _WEB_EDGES_SQL),

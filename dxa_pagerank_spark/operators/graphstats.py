@@ -330,3 +330,99 @@ def powerlaw_fit(
         F.round("alpha", 6).alias("alpha"),
         F.round("sigma", 6).alias("sigma"),
     )
+
+
+def rich_club(edges: DataFrame) -> DataFrame:
+    """Rich-club coefficient curve phi(k) of the undirected simple
+    graph (Zhou & Mondragon, "The rich-club phenomenon in the Internet
+    topology", IEEE Comm. Lett. 2004; Colizza et al., Nat. Phys. 2006):
+    for each degree threshold k, the club is the vertex set with
+    degree > k and
+
+        phi(k) = 2 * E_club / (N_club * (N_club - 1))
+
+    — the fraction of possible intra-club edges that exist. Web/AS
+    graphs famously score near 1 at the hub end (the "rich club" of
+    mutually-linked hubs); the curve is the standard diagnostic next to
+    degree_skew_report / powerlaw_fit. The reference computes no graph
+    statistics (MainPR.java:114); spec extension per SURVEY §2.2.
+
+    One row per threshold k in {0} union {distinct degree values},
+    restricted to clubs with >= 2 members so phi is defined:
+    (k, club_nodes, club_edges, phi). Exact-integer counts; the single
+    division happens at output, so a SQL oracle replays bit-for-bit.
+
+    Physical shape: distinct canonical edge set (one shuffle), one
+    degree groupBy, two edge->degree equi-joins (shuffle hash at
+    scale), then BOTH cumulative scans run on the merged
+    DEGREE-VALUE domain — thousands of rows on any graph, so the
+    final windows are a single tiny task. No per-edge windows, no
+    cartesian anything; club membership is never materialized
+    per-vertex (the counts come from histogram complements).
+    """
+    from pyspark.sql import Window
+
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("id"))
+        .unionAll(e.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # per-edge club entry threshold: the edge is inside club(k) iff
+    # min(deg_a, deg_b) > k
+    edge_min = (
+        e.join(deg.select(F.col("id").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("d").alias("db")), "b")
+        .select(F.least("da", "db").alias("m"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).alias("ce"))
+    )
+    node_hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("cn"))
+    # merged threshold domain (degree-value-sized): cumulative counts
+    # at-or-below each value; club counts are the complements
+    dom = (
+        node_hist.select(F.col("d").alias("k"), "cn", F.lit(0).alias("ce"))
+        .unionAll(
+            edge_min.select(
+                F.col("m").alias("k"), F.lit(0).alias("cn"), "ce"
+            )
+        )
+        .unionAll(
+            deg.sparkSession.range(1).select(
+                F.lit(0).alias("k"),
+                F.lit(0).alias("cn"),
+                F.lit(0).alias("ce"),
+            )
+        )
+        .groupBy("k")
+        .agg(F.sum("cn").alias("cn"), F.sum("ce").alias("ce"))
+    )
+    w = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = dom.select(
+        "k",
+        (F.sum("cn").over(tot) - F.sum("cn").over(w)).alias("club_nodes"),
+        (F.sum("ce").over(tot) - F.sum("ce").over(w)).alias("club_edges"),
+    )
+    return cum.filter(F.col("club_nodes") >= 2).select(
+        "k",
+        "club_nodes",
+        "club_edges",
+        (
+            F.lit(2.0)
+            * F.col("club_edges")
+            / (F.col("club_nodes") * (F.col("club_nodes") - F.lit(1)))
+        ).alias("phi"),
+    )

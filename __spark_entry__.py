@@ -895,6 +895,33 @@ def q_ppr_5rounds(spark, sf_dir):
     )
 
 
+def q_local_community(spark, sf_dir):
+    """ACL local clustering (FOCS'06): personalized-PageRank
+    conductance sweep from the top-3 out-degree seeds — the sweep
+    curve (prefix, vertex, volume, cut, conductance) over the top-40
+    degree-normalized-PPR prefix (operators/localcluster.py). Integer
+    vol/cut bookkeeping; the oracle replays the 5-round PPR chain and
+    the window-cumulative sweep."""
+    from dxa_pagerank_spark.operators.localcluster import ppr_sweep
+    from dxa_pagerank_spark.operators.pagerank import out_degrees
+
+    e = _edges(spark, sf_dir)
+    seeds = [
+        r["id"]
+        for r in out_degrees(e)
+        .orderBy(F.desc("out_deg"), F.asc("id"))
+        .limit(3)
+        .collect()
+    ]
+    return ppr_sweep(spark, e, seeds, rounds=5, top_m=40).select(
+        "t",
+        "id",
+        "vol",
+        "cut",
+        F.round("conductance", 6).alias("conductance"),
+    )
+
+
 def _web_pages(spark, sf_dir):
     """Deterministic input_hint-shaped pages table (url, warc_ts,
     html binary, text, lang) synthesised from documents — see
@@ -2859,6 +2886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_5rounds": q_hits_5rounds,
         "k_core_3": q_k_core_3,
         "ppr_5rounds": q_ppr_5rounds,
+        "local_community": q_local_community,
         "graph_summary": q_graph_summary,
         "user_sessions": q_user_sessions,
         "session_spans": q_session_spans,
@@ -5213,6 +5241,41 @@ _DEGREE_SKEW_SQL = """
 """
 
 
+# ppr_sweep tail appended to _ppr_rounds_sql(5): symmetrized simple
+# graph, 12-decimal-rounded degree-normalized score order (ties by
+# id — engine-portable, mirrors localcluster.py), per-edge
+# max-prefix-rank histogram, cumulative vol/internal windows, one
+# division at output.
+_SWEEP_TAIL_SQL = """
+    , und AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst),
+    udeg AS MATERIALIZED (
+        SELECT id, count(*) AS d FROM (
+            SELECT a AS id FROM und UNION ALL SELECT b FROM und) v
+        GROUP BY id),
+    ranked AS MATERIALIZED (
+        SELECT id, d, row_number() OVER (ORDER BY score DESC, id ASC) AS t
+        FROM (SELECT p.id, udeg.d, round(p.rank / udeg.d, 12) AS score
+              FROM p{k} p JOIN udeg ON p.id = udeg.id) sc
+        ORDER BY score DESC, id ASC LIMIT {m}),
+    eint AS (SELECT greatest(ra.t, rb.t) AS te, count(*) AS ce
+             FROM und JOIN ranked ra ON und.a = ra.id
+                      JOIN ranked rb ON und.b = rb.id GROUP BY 1),
+    sweep AS (
+        SELECT r.t, r.id,
+               sum(r.d) OVER (ORDER BY r.t) AS vol,
+               sum(coalesce(e.ce, 0)) OVER (ORDER BY r.t) AS ei
+        FROM ranked r LEFT JOIN eint e ON e.te = r.t)
+    SELECT t, id, vol::BIGINT AS vol, (vol - 2 * ei)::BIGINT AS cut,
+           round((vol - 2.0 * ei)
+                 / least(vol, (SELECT sum(d) FROM udeg) - vol), 6)
+               AS conductance
+    FROM sweep
+    WHERE least(vol, (SELECT sum(d) FROM udeg) - vol) > 0
+"""
+
+
 # rich_club term-for-term: canonical distinct undirected edges,
 # degrees, per-edge min-degree histogram + node-degree histogram on
 # the merged threshold domain, club counts as cumulative complements,
@@ -5964,6 +6027,8 @@ def oracle_sql() -> dict[str, str]:
         "k_truss_4": _ktruss_sql(4, 12) + "SELECT u, v FROM e12",
         "ppr_5rounds": _ppr_rounds_sql(5)
         + "SELECT id, round(rank, 6) AS rank FROM p5",
+        "local_community": _ppr_rounds_sql(5)
+        + _SWEEP_TAIL_SQL.format(k=5, m=40),
         "top20_pagerank": _PAGERANK_PRELUDE
         + """SELECT id, round(rank, 6) AS rank FROM final
              ORDER BY round(rank, 6) DESC, id LIMIT 20""",

@@ -895,6 +895,17 @@ def q_ppr_5rounds(spark, sf_dir):
     )
 
 
+def q_wl_classes(spark, sf_dir):
+    """Weisfeiler-Leman structural equivalence classes of the page
+    link graph after 2 refinement rounds (operators/wlrefine.py):
+    (wl_label, n_vertices) — template-generated page families surface
+    as large classes. Colors are md5 hex over sorted neighbor-color
+    multisets, so the oracle replays every round string-for-string."""
+    from dxa_pagerank_spark.operators.wlrefine import wl_class_sizes
+
+    return wl_class_sizes(_web_edges(spark, sf_dir), rounds=2)
+
+
 def q_local_community(spark, sf_dir):
     """ACL local clustering (FOCS'06): personalized-PageRank
     conductance sweep from the top-3 out-degree seeds — the sweep
@@ -2887,6 +2898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core_3": q_k_core_3,
         "ppr_5rounds": q_ppr_5rounds,
         "local_community": q_local_community,
+        "wl_classes": q_wl_classes,
         "graph_summary": q_graph_summary,
         "user_sessions": q_user_sessions,
         "session_spans": q_session_spans,
@@ -5241,6 +5253,40 @@ _DEGREE_SKEW_SQL = """
 """
 
 
+def _wl_rounds_sql(rounds: int, edges_sql: str) -> str:
+    """Unrolled Weisfeiler-Leman refinement (operators/wlrefine.py):
+    md5 colors over (own, sorted out-multiset, sorted in-multiset),
+    replayed string-for-string. Defines l{rounds}(id, lab)."""
+    parts = [
+        f"WITH raw AS MATERIALIZED ({edges_sql})",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM raw"
+        " WHERE src <> dst)",
+        "verts AS (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+        "od AS (SELECT src AS id, count(*) AS c FROM e GROUP BY src)",
+        "idg AS (SELECT dst AS id, count(*) AS c FROM e GROUP BY dst)",
+        "l0 AS MATERIALIZED (SELECT v.id,"
+        " md5(coalesce(od.c, 0)::VARCHAR || '.'"
+        " || coalesce(idg.c, 0)::VARCHAR) AS lab"
+        " FROM verts v LEFT JOIN od ON v.id = od.id"
+        " LEFT JOIN idg ON v.id = idg.id)",
+    ]
+    for r in range(1, rounds + 1):
+        parts += [
+            f"o{r} AS (SELECT e.src AS id,"
+            f" array_to_string(list_sort(list(l.lab)), ',') AS s"
+            f" FROM e JOIN l{r - 1} l ON e.dst = l.id GROUP BY e.src)",
+            f"i{r} AS (SELECT e.dst AS id,"
+            f" array_to_string(list_sort(list(l.lab)), ',') AS s"
+            f" FROM e JOIN l{r - 1} l ON e.src = l.id GROUP BY e.dst)",
+            f"l{r} AS MATERIALIZED (SELECT l.id,"
+            f" md5(l.lab || '|O:' || coalesce(o{r}.s, '')"
+            f" || '|I:' || coalesce(i{r}.s, '')) AS lab"
+            f" FROM l{r - 1} l LEFT JOIN o{r} ON l.id = o{r}.id"
+            f" LEFT JOIN i{r} ON l.id = i{r}.id)",
+        ]
+    return ",\n".join(parts) + "\n"
+
+
 # ppr_sweep tail appended to _ppr_rounds_sql(5): symmetrized simple
 # graph, 12-decimal-rounded degree-normalized score order (ties by
 # id — engine-portable, mirrors localcluster.py), per-edge
@@ -6029,6 +6075,9 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT id, round(rank, 6) AS rank FROM p5",
         "local_community": _ppr_rounds_sql(5)
         + _SWEEP_TAIL_SQL.format(k=5, m=40),
+        "wl_classes": _wl_rounds_sql(2, _WEB_EDGES_SQL)
+        + "SELECT lab AS wl_label, count(*) AS n_vertices"
+        " FROM l2 GROUP BY lab",
         "top20_pagerank": _PAGERANK_PRELUDE
         + """SELECT id, round(rank, 6) AS rank FROM final
              ORDER BY round(rank, 6) DESC, id LIMIT 20""",

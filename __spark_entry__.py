@@ -895,6 +895,24 @@ def q_ppr_5rounds(spark, sf_dir):
     )
 
 
+def q_readability(spark, sf_dir):
+    """Flesch Reading Ease + Flesch-Kincaid grade per document
+    (functions/textstats.py readability): regexp-run counting
+    conventions fixed so the oracle recomputes words/sentences/vowel-
+    run syllables and the affine formulas term-for-term."""
+    from dxa_pagerank_spark.functions.textstats import readability
+
+    docs = _t(spark, sf_dir, "documents")
+    return readability(docs).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round("flesch_ease", 6).alias("flesch_ease"),
+        F.round("fk_grade", 6).alias("fk_grade"),
+    )
+
+
 def q_wl_classes(spark, sf_dir):
     """Weisfeiler-Leman structural equivalence classes of the page
     link graph after 2 refinement rounds (operators/wlrefine.py):
@@ -2899,6 +2917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_5rounds": q_ppr_5rounds,
         "local_community": q_local_community,
         "wl_classes": q_wl_classes,
+        "readability": q_readability,
         "graph_summary": q_graph_summary,
         "user_sessions": q_user_sessions,
         "session_spans": q_session_spans,
@@ -6078,6 +6097,30 @@ def oracle_sql() -> dict[str, str]:
         "wl_classes": _wl_rounds_sql(2, _WEB_EDGES_SQL)
         + "SELECT lab AS wl_label, count(*) AS n_vertices"
         " FROM l2 GROUP BY lab",
+        "readability": """
+            WITH c AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[A-Za-z]+'))
+                           AS n_words,
+                       greatest(len(regexp_extract_all(text, '[.!?]+')),
+                                1) AS n_sentences,
+                       len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                           AS n_syllables
+                FROM documents)
+            SELECT doc_id, n_words, n_sentences, n_syllables,
+                   CASE WHEN n_words > 0 THEN
+                       round(206.835
+                             - 1.015 * (n_words::DOUBLE / n_sentences)
+                             - 84.6 * (n_syllables::DOUBLE / n_words),
+                             6)
+                   END AS flesch_ease,
+                   CASE WHEN n_words > 0 THEN
+                       round(0.39 * (n_words::DOUBLE / n_sentences)
+                             + 11.8 * (n_syllables::DOUBLE / n_words)
+                             - 15.59, 6)
+                   END AS fk_grade
+            FROM c
+        """,
         "top20_pagerank": _PAGERANK_PRELUDE
         + """SELECT id, round(rank, 6) AS rank FROM final
              ORDER BY round(rank, 6) DESC, id LIMIT 20""",

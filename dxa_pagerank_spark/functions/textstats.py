@@ -147,3 +147,61 @@ def fingerprint_udf():
 
 def with_fingerprint(documents: DataFrame, text_col: str = "text") -> DataFrame:
     return documents.withColumn("fingerprint", fingerprint_udf()(F.col(text_col)))
+
+
+def readability(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc Flesch Reading Ease + Flesch-Kincaid grade level
+    (Flesch 1948; Kincaid et al. 1975) — the classic length-vs-
+    complexity readability pair used as a document-quality signal in
+    web-corpus curation.
+
+    Counting conventions (fixed so a SQL oracle replays them
+    exactly; both engines use the same RE2-safe patterns):
+      words      = maximal [A-Za-z]+ runs (the WORD_RE token law)
+      sentences  = maximal [.!?]+ runs, floored at 1
+      syllables  = maximal [aeiouyAEIOUY]+ vowel runs — the standard
+                   cheap syllable estimate; a vowel run always lies
+                   inside a letter run, so this is a per-word sum.
+                   (No min-1-per-word adjustment: all-consonant
+                   tokens contribute 0 — documented variant.)
+
+        ease  = 206.835 - 1.015*(words/sentences)
+                        - 84.6*(syllables/words)
+        grade = 0.39*(words/sentences) + 11.8*(syllables/words)
+                - 15.59
+
+    Pure column program: three regexp counts per row (JVM codegen, no
+    shuffle, no Python); integer counts exact, the two ratios and the
+    affine formulas are the only float math. Docs with zero words get
+    NULL scores rather than a division blowup.
+    """
+    words = F.size(F.regexp_extract_all(F.col(text_col), F.lit(WORD_RE), 0))
+    sents = F.greatest(
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(r"[.!?]+"), 0)
+        ),
+        F.lit(1),
+    )
+    syls = F.size(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(r"[aeiouyAEIOUY]+"), 0
+        )
+    )
+    wps = words.cast("double") / sents.cast("double")
+    spw = F.when(
+        words > 0, syls.cast("double") / words.cast("double")
+    )
+    return documents.select(
+        "doc_id",
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syls.alias("n_syllables"),
+        F.when(
+            words > 0,
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
+        ).alias("flesch_ease"),
+        F.when(
+            words > 0,
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59),
+        ).alias("fk_grade"),
+    )

@@ -895,6 +895,20 @@ def q_ppr_5rounds(spark, sf_dir):
     )
 
 
+def q_web_eigencentrality(spark, sf_dir):
+    """Eigenvector centrality (Bonacich) of the page link graph after
+    6 L1-normalized power-iteration rounds
+    (operators/eigencentrality.py) — the undamped counterpart of
+    web_pagerank; the oracle unrolls the identical trajectory."""
+    from dxa_pagerank_spark.operators.eigencentrality import (
+        eigenvector_centrality,
+    )
+
+    return eigenvector_centrality(
+        spark, _web_edges(spark, sf_dir), rounds=6
+    ).select("id", F.round("centrality", 6).alias("centrality"))
+
+
 def q_readability(spark, sf_dir):
     """Flesch Reading Ease + Flesch-Kincaid grade per document
     (functions/textstats.py readability): regexp-run counting
@@ -2918,6 +2932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_community": q_local_community,
         "wl_classes": q_wl_classes,
         "readability": q_readability,
+        "web_eigencentrality": q_web_eigencentrality,
         "graph_summary": q_graph_summary,
         "user_sessions": q_user_sessions,
         "session_spans": q_session_spans,
@@ -5272,6 +5287,33 @@ _DEGREE_SKEW_SQL = """
 """
 
 
+def _eigen_rounds_sql(k: int, edges_sql: str) -> str:
+    """Unrolled L1-normalized eigenvector-centrality power iteration
+    (operators/eigencentrality.py; edge multiplicity counts, zero-sum
+    rounds guarded to a 1.0 divisor). Defines x{k}(id, v)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_sql})",
+        "verts AS MATERIALIZED (SELECT src AS id FROM edges"
+        " UNION SELECT dst FROM edges)",
+        "x0 AS MATERIALIZED (SELECT id,"
+        " 1.0 / (SELECT count(*) FROM verts) AS v FROM verts)",
+    ]
+    for i in range(1, k + 1):
+        parts += [
+            f"g{i} AS MATERIALIZED (SELECT e.dst AS id, sum(x.v) AS raw"
+            f" FROM edges e JOIN x{i - 1} x ON e.src = x.id"
+            f" GROUP BY e.dst)",
+            f"r{i} AS MATERIALIZED (SELECT verts.id,"
+            f" coalesce(g{i}.raw, 0) AS raw"
+            f" FROM verts LEFT JOIN g{i} ON verts.id = g{i}.id)",
+            f"t{i} AS (SELECT CASE WHEN coalesce(sum(raw), 0) = 0"
+            f" THEN 1.0 ELSE sum(raw) END AS t FROM r{i})",
+            f"x{i} AS MATERIALIZED (SELECT id,"
+            f" raw / (SELECT t FROM t{i}) AS v FROM r{i})",
+        ]
+    return ",\n".join(parts) + "\n"
+
+
 def _wl_rounds_sql(rounds: int, edges_sql: str) -> str:
     """Unrolled Weisfeiler-Leman refinement (operators/wlrefine.py):
     md5 colors over (own, sorted out-multiset, sorted in-multiset),
@@ -6094,6 +6136,8 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT id, round(rank, 6) AS rank FROM p5",
         "local_community": _ppr_rounds_sql(5)
         + _SWEEP_TAIL_SQL.format(k=5, m=40),
+        "web_eigencentrality": _eigen_rounds_sql(6, _WEB_EDGES_SQL)
+        + "SELECT id, round(v, 6) AS centrality FROM x6",
         "wl_classes": _wl_rounds_sql(2, _WEB_EDGES_SQL)
         + "SELECT lab AS wl_label, count(*) AS n_vertices"
         " FROM l2 GROUP BY lab",

@@ -562,3 +562,35 @@ def test_final_batch_plans(spark):
         assert "BatchEvalPython" not in p
         assert "ArrowEvalPython" not in p
     assert "BroadcastHashJoin" in mirror_plan  # the site-size attach
+
+
+def test_session_new_graph_ops_plans(spark):
+    """rich_club / ppr_sweep / wl_refinement / eigenvector_centrality
+    (this session's additions) stay JVM-only equi-join shapes: no
+    cartesian or nested-loop joins except ppr_sweep's 1-row
+    vol_total scalar attach, and no Python eval anywhere."""
+    from dxa_pagerank_spark.operators.eigencentrality import (
+        eigenvector_centrality,
+    )
+    from dxa_pagerank_spark.operators.graphstats import rich_club
+    from dxa_pagerank_spark.operators.localcluster import ppr_sweep
+    from dxa_pagerank_spark.operators.wlrefine import wl_refinement
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)],
+        "src long, dst long",
+    )
+    for df, nlj_budget in (
+        (rich_club(edges), 0),
+        (wl_refinement(edges, rounds=1), 0),
+        (eigenvector_centrality(spark, edges, rounds=1), 0),
+        # the crossJoin(total) 1-row scalar attach is the one allowed
+        # BroadcastNestedLoopJoin node (the formatted plan names each
+        # node twice: tree + detail section)
+        (ppr_sweep(spark, edges, [0], rounds=1, top_m=4), 1),
+    ):
+        p = _plan(df)
+        assert "CartesianProduct" not in p
+        assert p.count("BroadcastNestedLoopJoin") <= 2 * nlj_budget
+        assert "BatchEvalPython" not in p
+        assert "ArrowEvalPython" not in p

@@ -895,6 +895,20 @@ def q_ppr_5rounds(spark, sf_dir):
     )
 
 
+def q_fiedler_bisection(spark, sf_dir):
+    """Spectral bisection of the page link graph: the Fiedler vector
+    after 8 shifted/deflated power-iteration rounds
+    (operators/spectral.py) — sign gives the balanced 2-cut, the
+    global counterpart of local_community's sweep. The oracle unrolls
+    the identical trajectory (Knuth-hash start, mean deflation, IEEE
+    sqrt renormalization)."""
+    from dxa_pagerank_spark.operators.spectral import fiedler_vector
+
+    return fiedler_vector(spark, _web_edges(spark, sf_dir), rounds=8).select(
+        "id", F.round("fiedler", 6).alias("fiedler")
+    )
+
+
 def q_web_eigencentrality(spark, sf_dir):
     """Eigenvector centrality (Bonacich) of the page link graph after
     6 L1-normalized power-iteration rounds
@@ -2933,6 +2947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_classes": q_wl_classes,
         "readability": q_readability,
         "web_eigencentrality": q_web_eigencentrality,
+        "fiedler_bisection": q_fiedler_bisection,
         "graph_summary": q_graph_summary,
         "user_sessions": q_user_sessions,
         "session_spans": q_session_spans,
@@ -5287,6 +5302,43 @@ _DEGREE_SKEW_SQL = """
 """
 
 
+def _fiedler_rounds_sql(k: int, edges_sql: str) -> str:
+    """Unrolled shifted/deflated power iteration for the Fiedler
+    vector (operators/spectral.py): sigma = max_deg + 1, re-center to
+    mean 0, L2-renormalize (IEEE sqrt both engines). Defines
+    x{k}(id, d, x)."""
+    parts = [
+        f"WITH raw AS MATERIALIZED ({edges_sql})",
+        "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a,"
+        " greatest(src, dst) AS b FROM raw WHERE src <> dst)",
+        "sym AS MATERIALIZED (SELECT a, b FROM und"
+        " UNION ALL SELECT b, a FROM und)",
+        "deg AS MATERIALIZED (SELECT a AS id, count(*) AS d"
+        " FROM sym GROUP BY a)",
+        "x0 AS MATERIALIZED (SELECT id, d,"
+        " ((2654435761 * id) % 4294967296)::DOUBLE / 4294967296.0"
+        " - 0.5 AS x FROM deg)",
+    ]
+    for i in range(1, k + 1):
+        parts += [
+            f"nb{i} AS MATERIALIZED (SELECT s.a AS id, sum(x.x) AS nbr"
+            f" FROM sym s JOIN x{i - 1} x ON s.b = x.id GROUP BY s.a)",
+            f"y{i} AS MATERIALIZED (SELECT x.id, x.d,"
+            f" ((SELECT max(d) FROM deg) + 1.0 - x.d) * x.x"
+            f" + coalesce(nb.nbr, 0) AS y"
+            f" FROM x{i - 1} x LEFT JOIN nb{i} nb ON x.id = nb.id)",
+            f"m{i} AS (SELECT sum(y)"
+            f" / (SELECT count(*) FROM deg)::DOUBLE AS m FROM y{i})",
+            f"c{i} AS MATERIALIZED (SELECT id, d,"
+            f" y - (SELECT m FROM m{i}) AS c FROM y{i})",
+            f"q{i} AS (SELECT CASE WHEN sqrt(sum(c * c)) = 0 THEN 1.0"
+            f" ELSE sqrt(sum(c * c)) END AS q FROM c{i})",
+            f"x{i} AS MATERIALIZED (SELECT id, d,"
+            f" c / (SELECT q FROM q{i}) AS x FROM c{i})",
+        ]
+    return ",\n".join(parts) + "\n"
+
+
 def _eigen_rounds_sql(k: int, edges_sql: str) -> str:
     """Unrolled L1-normalized eigenvector-centrality power iteration
     (operators/eigencentrality.py; edge multiplicity counts, zero-sum
@@ -6138,6 +6190,8 @@ def oracle_sql() -> dict[str, str]:
         + _SWEEP_TAIL_SQL.format(k=5, m=40),
         "web_eigencentrality": _eigen_rounds_sql(6, _WEB_EDGES_SQL)
         + "SELECT id, round(v, 6) AS centrality FROM x6",
+        "fiedler_bisection": _fiedler_rounds_sql(8, _WEB_EDGES_SQL)
+        + "SELECT id, round(x, 6) AS fiedler FROM x8",
         "wl_classes": _wl_rounds_sql(2, _WEB_EDGES_SQL)
         + "SELECT lab AS wl_label, count(*) AS n_vertices"
         " FROM l2 GROUP BY lab",

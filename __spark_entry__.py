@@ -909,6 +909,25 @@ def q_fiedler_bisection(spark, sf_dir):
     )
 
 
+def q_landmark_closeness(spark, sf_dir):
+    """Sampled closeness centrality from the landmark frame
+    (operators/landmarks.py landmark_closeness — Eppstein-Wang 2004
+    over Potamias et al. landmarks): per-vertex mean inverse distance
+    to the 4 highest-degree landmarks, one shared batched BFS +
+    per-vertex aggregate. Exact-integer dist_sum; the oracle replays
+    landmark choice, the recursive BFS closure, and the aggregate."""
+    from dxa_pagerank_spark.operators.landmarks import landmark_closeness
+
+    return landmark_closeness(
+        spark, _web_edges(spark, sf_dir), k=4, max_depth=12
+    ).select(
+        "id",
+        "n_landmarks",
+        "dist_sum",
+        F.round("closeness", 6).alias("closeness"),
+    )
+
+
 def q_web_eigencentrality(spark, sf_dir):
     """Eigenvector centrality (Bonacich) of the page link graph after
     6 L1-normalized power-iteration rounds
@@ -2934,6 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget": q_crawl_budget,
         "web_bfs_levels": q_web_bfs_levels,
         "web_landmark_distances": q_web_landmark_distances,
+        "landmark_closeness": q_landmark_closeness,
         "mirror_sites": q_mirror_sites,
         "web_distance_histogram": q_web_distance_histogram,
         "graph_reciprocity": q_graph_reciprocity,
@@ -3756,6 +3776,34 @@ _LANDMARK_SQL = """
     JOIN d dv ON dv.l = du.l AND dv.id = q.v
     WHERE q.v IS NOT NULL
     GROUP BY q.u, q.v
+"""
+
+# landmark_closeness: the _LANDMARK_SQL prefix (same landmark rule,
+# same recursive BFS closure incl. the 0-distance self-rows), then the
+# per-vertex aggregate with the one division at output.
+_LANDMARK_CLOSENESS_SQL = """
+    WITH RECURSIVE e AS MATERIALIZED (
+        SELECT DISTINCT u, v FROM (
+            SELECT src AS u, dst AS v FROM ({web_edges}) w1
+            UNION ALL
+            SELECT dst AS u, src AS v FROM ({web_edges}) w2) t
+        WHERE u <> v),
+    deg AS (SELECT u AS id, count(*) AS d FROM e GROUP BY u),
+    lm AS MATERIALIZED (
+        SELECT id FROM deg ORDER BY d DESC, id ASC LIMIT 4),
+    lvl AS (
+        SELECT id AS l, id, 0 AS dist FROM lm
+        UNION
+        SELECT lvl.l, e.v, lvl.dist + 1
+        FROM lvl JOIN e ON lvl.id = e.u WHERE lvl.dist < 12),
+    d AS MATERIALIZED (
+        SELECT l, id, min(dist) AS dist FROM lvl GROUP BY l, id)
+    SELECT id, count(*)::BIGINT AS n_landmarks,
+           sum(dist)::BIGINT AS dist_sum,
+           CASE WHEN sum(dist) > 0 THEN
+               round(count(*)::DOUBLE / sum(dist)::DOUBLE, 6)
+           END AS closeness
+    FROM d GROUP BY id
 """
 
 _MIRROR_SQL = """
@@ -6694,6 +6742,9 @@ def oracle_sql() -> dict[str, str]:
         "walk_skipgrams": _skipgram_sql(_WEB_EDGES_SQL, length=4, window=2),
         "web_bfs_levels": _BFS_SQL.format(web_edges=_WEB_EDGES_SQL),
         "web_landmark_distances": _LANDMARK_SQL.format(
+            web_edges=_WEB_EDGES_SQL
+        ),
+        "landmark_closeness": _LANDMARK_CLOSENESS_SQL.format(
             web_edges=_WEB_EDGES_SQL
         ),
         "mirror_sites": _MIRROR_SQL,

@@ -104,3 +104,35 @@ def test_disconnected_pairs_emit_no_row(spark):
     pairs = spark.createDataFrame([(0, 10), (0, 2)], "u long, v long")
     got = {(r.u, r.v) for r in estimate_distances(dists, pairs).collect()}
     assert got == {(0, 2)}
+
+
+def test_landmark_closeness_replica(spark):
+    # path 0-1-2-3-4 plus hub 2 connected to 5: landmarks = 4 highest
+    # undirected degree
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (2, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from dxa_pagerank_spark.operators.landmarks import (
+        landmark_closeness,
+        landmark_distances,
+        select_landmarks,
+    )
+
+    lms = [r["id"] for r in select_landmarks(df, 4).collect()]
+    dmap = {}
+    for r in landmark_distances(spark, df, k=4, max_depth=16).collect():
+        dmap.setdefault(r["id"], []).append(r["dist"])
+    got = {
+        r["id"]: (r["n_landmarks"], r["dist_sum"], r["closeness"])
+        for r in landmark_closeness(spark, df, k=4, max_depth=16).collect()
+    }
+    assert set(got) == set(dmap)
+    for v, ds in dmap.items():
+        n, s = len(ds), sum(ds)
+        assert got[v][0] == n and got[v][1] == s
+        if s > 0:
+            assert abs(got[v][2] - n / s) < 1e-12
+        else:
+            assert got[v][2] is None
+    # sanity: the graph center (2) beats the periphery (4)
+    assert got[2][2] > got[4][2]
+    assert len(lms) == 4

@@ -909,6 +909,29 @@ def q_fiedler_bisection(spark, sf_dir):
     )
 
 
+def q_reservoir_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted reservoir sampling (functions/
+    sampling.py weighted_reservoir): per-language top-15 by the
+    deterministic exponential key -ln(u)/w with u from the Knuth
+    multiplicative hash and w = token count — a weight-proportional
+    sample WITHOUT replacement. The oracle replays hash, key, and
+    per-group rank draw-for-draw."""
+    from dxa_pagerank_spark.functions.sampling import weighted_reservoir
+    from dxa_pagerank_spark.functions.textstats import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count(F.col("text")).alias("ntok")
+    )
+    return weighted_reservoir(
+        docs, "lang", F.col("doc_id"), F.col("ntok"), k=15
+    ).select(
+        "doc_id",
+        "lang",
+        "res_rank",
+        F.round("res_key", 6).alias("res_key"),
+    )
+
+
 def q_landmark_closeness(spark, sf_dir):
     """Sampled closeness centrality from the landmark frame
     (operators/landmarks.py landmark_closeness — Eppstein-Wang 2004
@@ -2954,6 +2977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_bfs_levels": q_web_bfs_levels,
         "web_landmark_distances": q_web_landmark_distances,
         "landmark_closeness": q_landmark_closeness,
+        "reservoir_sample": q_reservoir_sample,
         "mirror_sites": q_mirror_sites,
         "web_distance_histogram": q_web_distance_histogram,
         "graph_reciprocity": q_graph_reciprocity,
@@ -6747,6 +6771,25 @@ def oracle_sql() -> dict[str, str]:
         "landmark_closeness": _LANDMARK_CLOSENESS_SQL.format(
             web_edges=_WEB_EDGES_SQL
         ),
+        "reservoir_sample": """
+            WITH t AS (
+                SELECT doc_id, lang,
+                       len(regexp_extract_all(text, '[A-Za-z]+'))::DOUBLE
+                           AS w
+                FROM documents),
+            keyed AS (
+                SELECT doc_id, lang,
+                       -ln(((doc_id * 2654435761) % 4294967296 + 1.0)
+                           / 4294967296.0) / w AS res_key
+                FROM t WHERE w > 0),
+            r AS (SELECT doc_id, lang, res_key,
+                         row_number() OVER (PARTITION BY lang
+                             ORDER BY res_key ASC, doc_id ASC)
+                             AS res_rank
+                  FROM keyed)
+            SELECT doc_id, lang, res_rank, round(res_key, 6) AS res_key
+            FROM r WHERE res_rank <= 15
+        """,
         "mirror_sites": _MIRROR_SQL,
         "web_distance_histogram": (
             "WITH levels AS ("

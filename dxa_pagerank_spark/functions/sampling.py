@@ -238,3 +238,54 @@ def temperature_sample_sql(
     WHERE ((({key_sql} + {salt}) % {_FOLD} + {_FOLD}) % {_FOLD}
            * {KNUTH}) % {MOD} < thr.t
     """
+
+
+def weighted_reservoir(
+    df: DataFrame,
+    group_col: str,
+    key: Column,
+    weight: Column,
+    k: int,
+    salt: int = 0,
+) -> DataFrame:
+    """Efraimidis-Spirakis weighted reservoir sampling (IPL 2006,
+    algorithm A-ES): per group, keep the k rows with the smallest
+    exponential key
+
+        e = -ln(u) / w,   u = (knuth_hash(key, salt) + 1) / 2^32
+
+    — equivalent to keeping the k largest u^(1/w), i.e. a weighted
+    sample WITHOUT replacement where selection probability is
+    proportional to weight at every draw. The hash makes the "random"
+    u deterministic per row (same reproducibility contract as
+    hash_sample: membership survives reruns and repartitioning), so a
+    SQL oracle replays every draw.
+
+    Physical shape: the exponential key is a pure column expression
+    (hash -> ln -> divide, JVM codegen); per-group top-k plans as a
+    rank-filtered window — with the filter on row_number Spark
+    applies WindowGroupLimit, a map-side per-group top-k heap BEFORE
+    the exchange, so mega-groups never ship their full row set
+    (the crawl_schedule plan shape). Rows with weight <= 0 are
+    excluded up front (their draw probability is 0).
+
+    Returns the input columns plus (res_key, res_rank), res_rank in
+    1..k by ascending key (ties to ascending hash key input).
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = (hash_bucket(key, salt).cast("double") + F.lit(1.0)) / F.lit(
+        float(MOD)
+    )
+    e = -F.log(u) / weight.cast("double")
+    w = Window.partitionBy(group_col).orderBy(
+        F.asc("res_key"), F.asc(key)
+    )
+    return (
+        df.filter(weight > 0)
+        .withColumn("res_key", e)
+        .withColumn("res_rank", F.row_number().over(w))
+        .filter(F.col("res_rank") <= k)
+    )

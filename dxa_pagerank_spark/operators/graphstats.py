@@ -426,3 +426,88 @@ def rich_club(edges: DataFrame) -> DataFrame:
             / (F.col("club_nodes") * (F.col("club_nodes") - F.lit(1)))
         ).alias("phi"),
     )
+
+
+def attribute_mixing_matrix(
+    edges: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """-> (label_src, label_dst, n_links, share): the categorical
+    mixing matrix e_ij of Newman, "Mixing patterns in networks" (PRE
+    2003) — here typically language-to-language or site-category
+    linking over the distinct non-loop edge set. share = n/total is
+    the only division (exact-integer counts underneath).
+
+    Physical shape: two edge->label equi-joins (label table is
+    vertex-sized — shuffle hash join at scale, broadcastable when the
+    attribute table is a dimension), one groupBy on the label-PAIR
+    domain (|labels|^2 rows — tiny), total attached as a 1-row
+    broadcast."""
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    la = labels.select(
+        F.col("id").alias("src"), F.col("label").alias("label_src")
+    )
+    lb = labels.select(
+        F.col("id").alias("dst"), F.col("label").alias("label_dst")
+    )
+    m = (
+        e.join(la, "src")
+        .join(lb, "dst")
+        .groupBy("label_src", "label_dst")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+    tot = m.agg(F.sum("n_links").alias("t"))
+    return m.crossJoin(F.broadcast(tot)).select(
+        "label_src",
+        "label_dst",
+        "n_links",
+        (F.col("n_links") / F.col("t")).alias("share"),
+    )
+
+
+def attribute_assortativity(
+    edges: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """1-row (n_links, r): Newman's categorical assortativity
+    coefficient over the mixing matrix,
+
+        r = (sum_i e_ii - sum_i a_i b_i) / (1 - sum_i a_i b_i)
+
+    with a/b the row/column marginals — +1 = perfectly assortative
+    (every link stays inside its language), 0 = random mixing, < 0 =
+    disassortative. All sums exact integers over the label domain;
+    the divisions fold at output. r is NULL for the degenerate
+    single-label graph (denominator 0)."""
+    m = (
+        attribute_mixing_matrix(edges, labels)
+        .groupBy("label_src", "label_dst")
+        .agg(F.sum("n_links").alias("c"))
+    )
+    tot = m.agg(F.sum("c").alias("t"))
+    tr = m.filter(F.col("label_src") == F.col("label_dst")).agg(
+        F.sum("c").alias("tr")
+    )
+    a = m.groupBy(F.col("label_src").alias("l")).agg(
+        F.sum("c").alias("ra")
+    )
+    b = m.groupBy(F.col("label_dst").alias("l")).agg(
+        F.sum("c").alias("rb")
+    )
+    ab = (
+        a.join(b, "l")
+        .agg(F.sum(F.col("ra") * F.col("rb")).alias("sab"))
+    )
+    joined = (
+        tot.crossJoin(F.broadcast(tr)).crossJoin(F.broadcast(ab))
+    )
+    e_ii = F.coalesce(F.col("tr"), F.lit(0)) / F.col("t")
+    sum_ab = F.col("sab") / (F.col("t") * F.col("t"))
+    return joined.select(
+        F.col("t").alias("n_links"),
+        F.when(
+            sum_ab < 1.0, (e_ii - sum_ab) / (F.lit(1.0) - sum_ab)
+        ).alias("r"),
+    )

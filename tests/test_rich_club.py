@@ -87,3 +87,47 @@ def test_rich_club_random_graph_matches_replica(spark):
     for k in exp:
         assert got[k][:2] == exp[k][:2]
         assert got[k][2] == pytest.approx(exp[k][2], abs=1e-12)
+
+
+def test_attribute_mixing_and_assortativity(spark):
+    from dxa_pagerank_spark.operators.graphstats import (
+        attribute_assortativity,
+        attribute_mixing_matrix,
+    )
+
+    # two language islands + one cross link
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (2, 3), (3, 2), (1, 2), (1, 1)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(0, "en"), (1, "en"), (2, "de"), (3, "de")],
+        "id long, label string",
+    )
+    m = {
+        (r["label_src"], r["label_dst"]): (r["n_links"], r["share"])
+        for r in attribute_mixing_matrix(edges, labels).collect()
+    }
+    # self-loop dropped: 5 links total
+    assert m[("en", "en")][0] == 2
+    assert m[("de", "de")][0] == 2
+    assert m[("en", "de")][0] == 1
+    assert abs(m[("en", "en")][1] - 2 / 5) < 1e-12
+    row = attribute_assortativity(edges, labels).collect()[0]
+    # e_ii = 4/5; a_en=3/5, b_en=2/5, a_de=2/5, b_de=3/5 ->
+    # sum ab = 12/25; r = (4/5 - 12/25)/(1 - 12/25) = (8/25)/(13/25)
+    assert row["n_links"] == 5
+    assert abs(row["r"] - 8 / 13) < 1e-12
+
+
+def test_attribute_assortativity_degenerate_single_label(spark):
+    from dxa_pagerank_spark.operators.graphstats import (
+        attribute_assortativity,
+    )
+
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    labels = spark.createDataFrame(
+        [(0, "en"), (1, "en")], "id long, label string"
+    )
+    row = attribute_assortativity(edges, labels).collect()[0]
+    assert row["r"] is None

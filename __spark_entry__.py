@@ -935,6 +935,28 @@ def q_click_attribution(spark, sf_dir):
     )
 
 
+def q_hitting_times(spark, sf_dir):
+    """Truncated mean hitting time to the top-3 out-degree pages
+    under the uniform surfer (operators/hitting.py, 10 value-
+    iteration rounds) — the first-passage "surf distance back to
+    trust" signal beside web_spam_mass. The oracle unrolls the
+    identical trajectory including the dangling self-hold."""
+    from dxa_pagerank_spark.operators.hitting import hitting_times
+    from dxa_pagerank_spark.operators.pagerank import out_degrees
+
+    e = _web_edges(spark, sf_dir)
+    targets = [
+        r["id"]
+        for r in out_degrees(e)
+        .orderBy(F.desc("out_deg"), F.asc("id"))
+        .limit(3)
+        .collect()
+    ]
+    return hitting_times(spark, e, targets, rounds=10).select(
+        "id", F.round("hit_time", 6).alias("hit_time")
+    )
+
+
 def q_lang_link_matrix(spark, sf_dir):
     """Language-to-language mixing matrix of the page link graph
     (operators/graphstats.py attribute_mixing_matrix — Newman PRE
@@ -3008,6 +3030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        cheapest first --
         "zorder_keys": q_zorder_keys,
         "lang_link_matrix": q_lang_link_matrix,
+        "hitting_times": q_hitting_times,
         "lang_assortativity": q_lang_assortativity,
         "readability": q_readability,
         "hrw_shards": q_hrw_shards,
@@ -5563,6 +5586,42 @@ def _fiedler_rounds_sql(k: int, edges_sql: str) -> str:
     return ",\n".join(parts) + "\n"
 
 
+def _hitting_rounds_sql(k: int, edges_sql: str) -> str:
+    """Unrolled truncated-hitting-time value iteration
+    (operators/hitting.py; targets = top-3 out-degree, ties min id;
+    dangling self-holds). Defines h{k}(id, h)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_sql})",
+        "deg AS MATERIALIZED (SELECT src AS id, count(*) AS od"
+        " FROM edges GROUP BY src)",
+        "ew AS MATERIALIZED (SELECT e.src, e.dst, 1.0 / d.od AS w"
+        " FROM edges e JOIN deg d ON e.src = d.id)",
+        "tg AS MATERIALIZED (SELECT src AS id FROM edges GROUP BY src"
+        " ORDER BY count(*) DESC, src ASC LIMIT 3)",
+        "verts AS MATERIALIZED (SELECT v.id,"
+        " (v.id IN (SELECT id FROM tg)) AS is_t,"
+        " (d.id IS NULL) AS dang"
+        " FROM (SELECT src AS id FROM edges"
+        " UNION SELECT dst FROM edges) v"
+        " LEFT JOIN deg d ON v.id = d.id)",
+        "h0 AS MATERIALIZED (SELECT id, 0.0 AS h FROM verts)",
+    ]
+    for i in range(1, k + 1):
+        parts += [
+            f"g{i} AS MATERIALIZED (SELECT ew.src AS id,"
+            f" sum(p.h * ew.w) AS gh"
+            f" FROM ew JOIN h{i - 1} p ON ew.dst = p.id"
+            f" GROUP BY ew.src)",
+            f"h{i} AS MATERIALIZED (SELECT v.id,"
+            f" CASE WHEN v.is_t THEN 0.0"
+            f" WHEN v.dang THEN 1.0 + p.h"
+            f" ELSE 1.0 + coalesce(g.gh, 0.0) END AS h"
+            f" FROM verts v JOIN h{i - 1} p ON v.id = p.id"
+            f" LEFT JOIN g{i} g ON v.id = g.id)",
+        ]
+    return ",\n".join(parts) + "\n"
+
+
 def _eigen_rounds_sql(k: int, edges_sql: str) -> str:
     """Unrolled L1-normalized eigenvector-centrality power iteration
     (operators/eigencentrality.py; edge multiplicity counts, zero-sum
@@ -7478,6 +7537,8 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0.0 END, 6) AS mean_neg_logprob
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         """,
+        "hitting_times": _hitting_rounds_sql(10, _WEB_EDGES_SQL)
+        + "SELECT id, round(h, 6) AS hit_time FROM h10",
         "lang_link_matrix": f"""
             WITH e AS MATERIALIZED (
                 SELECT DISTINCT src, dst FROM ({_WEB_EDGES_SQL}) we

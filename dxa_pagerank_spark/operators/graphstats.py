@@ -481,10 +481,29 @@ def attribute_assortativity(
     disassortative. All sums exact integers over the label domain;
     the divisions fold at output. r is NULL for the degenerate
     single-label graph (denominator 0)."""
+    # raw count matrix (NOT attribute_mixing_matrix: its share column
+    # carries a 1-row total attach, and this plan references the
+    # matrix four times — each reference would replan that crossJoin)
+    e = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
     m = (
-        attribute_mixing_matrix(edges, labels)
+        e.join(
+            labels.select(
+                F.col("id").alias("src"), F.col("label").alias("label_src")
+            ),
+            "src",
+        )
+        .join(
+            labels.select(
+                F.col("id").alias("dst"), F.col("label").alias("label_dst")
+            ),
+            "dst",
+        )
         .groupBy("label_src", "label_dst")
-        .agg(F.sum("n_links").alias("c"))
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     tot = m.agg(F.sum("c").alias("t"))
     tr = m.filter(F.col("label_src") == F.col("label_dst")).agg(

@@ -594,3 +594,68 @@ def test_session_new_graph_ops_plans(spark):
         assert p.count("BroadcastNestedLoopJoin") <= 2 * nlj_budget
         assert "BatchEvalPython" not in p
         assert "ArrowEvalPython" not in p
+
+
+def test_session_new_pipeline_ops_plans(spark):
+    """attribution / reservoir / hitting / mixing / HRW / KN-LM /
+    readability / z-order stay JVM-only with no cartesian joins; 1-row
+    scalar attaches are the only nested-loop nodes (each counted
+    twice by the formatted plan)."""
+    from pyspark.sql import functions as F
+
+    from dxa_pagerank_spark.functions.lmscore import kneser_ney_logprob
+    from dxa_pagerank_spark.functions.sampling import weighted_reservoir
+    from dxa_pagerank_spark.functions.textstats import readability
+    from dxa_pagerank_spark.operators.graphstats import (
+        attribute_assortativity,
+        attribute_mixing_matrix,
+    )
+    from dxa_pagerank_spark.operators.hitting import hitting_times
+    from dxa_pagerank_spark.operators.partitioning import (
+        rendezvous_assign,
+    )
+    from dxa_pagerank_spark.plans.zorder import z_value
+    from dxa_pagerank_spark.streaming.attribution import (
+        attributed_clicks,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b"), (3, "b")], "id long, label string"
+    )
+    docs = spark.createDataFrame(
+        [(0, "en", "a b. c d a b"), (1, "de", "x y? z")],
+        "doc_id long, lang string, text string",
+    )
+    events = spark.createDataFrame(
+        [(0, "2024-01-01 00:00:00", 1, "view"),
+         (1, "2024-01-01 00:01:00", 1, "click")],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    for df, nlj_nodes in (
+        (attributed_clicks(events), 0),
+        (
+            weighted_reservoir(
+                docs, "lang", F.col("doc_id"), F.lit(2.0), 1
+            ),
+            0,
+        ),
+        (hitting_times(spark, edges, [0], rounds=1), 0),
+        (attribute_mixing_matrix(edges, labels), 1),  # 1-row total
+        (attribute_assortativity(edges, labels), 3),  # 3 scalars
+        (
+            docs.select(rendezvous_assign(F.col("doc_id"), 4)),
+            0,
+        ),
+        (kneser_ney_logprob(docs), 1),  # 1-row type-total attach
+        (readability(docs), 0),
+        (docs.select(z_value(F.col("doc_id"), F.col("doc_id"), 4)), 0),
+    ):
+        p = _plan(df)
+        assert "CartesianProduct" not in p
+        assert p.count("BroadcastNestedLoopJoin") <= 2 * nlj_nodes
+        assert "BatchEvalPython" not in p
+        assert "ArrowEvalPython" not in p

@@ -566,6 +566,28 @@ def q_minhash_dedup(spark, sf_dir):
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_bbit_minhash_dedup(spark, sf_dir):
+    """b-bit minwise near-dup pipeline (functions/dedup.py, Li-Konig
+    WWW'10): capped LSH candidates screened by the bias-corrected
+    4-bit resemblance estimate (16-byte signatures — the index form
+    that fits memory at 10^12 docs) before exact Jaccard verification.
+    On this corpus true pairs sit at J >= 0.95 and the screen at 0.5
+    (expected r_est ~ J, ~4+ sigma of slack over 32 hashes), so the
+    screen is recall-only and the output equals the exact all-pairs
+    oracle — the same verified-output contract as minhash_dedup."""
+    from dxa_pagerank_spark.functions.dedup import (
+        bbit_minhash_dedup_pairs,
+    )
+
+    return bbit_minhash_dedup_pairs(
+        _t(spark, sf_dir, "documents"),
+        b=4,
+        screen=0.5,
+        threshold=0.8,
+        star_threshold=64,
+    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_incremental_near_dup(spark, sf_dir):
     """Cross-crawl dedup: docs with doc_id % 4 == 0 arrive as the NEW
     crawl and are checked against the LSH band index of the PRIOR
@@ -3014,6 +3036,36 @@ def q_site_simrank(spark, sf_dir):
     )
 
 
+_EXACT_JACCARD_PAIRS_SQL = """
+            WITH toks AS MATERIALIZED (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                         regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                         ' +'), x -> x <> '') AS t
+              FROM documents),
+            grams AS MATERIALIZED (
+              SELECT doc_id,
+                     CASE WHEN len(t) >= 3 THEN
+                         list_distinct(list_transform(range(1, len(t) - 1),
+                             i -> array_to_string(t[i:i+2], ' ')))
+                     ELSE [array_to_string(t, ' ')] END AS g
+              FROM toks),
+            ex AS MATERIALIZED (SELECT doc_id, unnest(g) AS gram FROM grams),
+            sizes AS MATERIALIZED (
+              SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+            inter AS MATERIALIZED (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8
+        """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver-verification priority. CORRECTNESS_r02
     shows the driver checks a prefix of this dict (it covered exactly
@@ -3044,6 +3096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "landmark_closeness": q_landmark_closeness,
         "fiedler_bisection": q_fiedler_bisection,
         "diameter_bounds": q_diameter_bounds,
+        "bbit_minhash_dedup": q_bbit_minhash_dedup,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_link_graph": q_warc_link_graph,
         "robots_schedule": q_robots_schedule,
@@ -6852,34 +6905,8 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = prior_id
             WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8
         """,
-        "minhash_dedup": """
-            WITH toks AS MATERIALIZED (
-              SELECT doc_id,
-                     list_filter(string_split_regex(
-                         regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
-                         ' +'), x -> x <> '') AS t
-              FROM documents),
-            grams AS MATERIALIZED (
-              SELECT doc_id,
-                     CASE WHEN len(t) >= 3 THEN
-                         list_distinct(list_transform(range(1, len(t) - 1),
-                             i -> array_to_string(t[i:i+2], ' ')))
-                     ELSE [array_to_string(t, ' ')] END AS g
-              FROM toks),
-            ex AS MATERIALIZED (SELECT doc_id, unnest(g) AS gram FROM grams),
-            sizes AS MATERIALIZED (
-              SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
-            inter AS MATERIALIZED (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-              FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-            SELECT doc_a, doc_b,
-                   round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = doc_a
-            JOIN sizes sb ON sb.doc_id = doc_b
-            WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.8
-        """,
+        "minhash_dedup": _EXACT_JACCARD_PAIRS_SQL,
+        "bbit_minhash_dedup": _EXACT_JACCARD_PAIRS_SQL,
         # exact all-pairs cosine >= threshold; the corpus has no pair
         # above 0.52, so both sides must (and do) return the empty set —
         # this still catches any false positive from the LSH bucketing.

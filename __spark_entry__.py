@@ -1045,6 +1045,39 @@ def q_hrw_shards(spark, sf_dir):
     )
 
 
+def q_quality_correlations(spark, sf_dir):
+    """Pairwise Pearson correlations between the engine's three
+    cheap quality signals — heuristic composite, unigram-LM mean NLL,
+    Flesch ease — over docs where all three are defined
+    (functions/profiler.py signal_correlations): the double-counting
+    pre-flight before blending signals in rank_fusion / curation
+    gates. Signals are 6-dp-rounded BEFORE correlating so both
+    engines correlate identical values; the oracle replays each
+    signal and the sufficient-sums formula."""
+    from dxa_pagerank_spark.functions.lmscore import unigram_logprob
+    from dxa_pagerank_spark.functions.profiler import (
+        signal_correlations,
+    )
+    from dxa_pagerank_spark.functions.textstats import (
+        quality_score,
+        readability,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality")
+    lm = unigram_logprob(docs).select(
+        F.col("id").alias("doc_id"),
+        F.round("mean_neg_logprob", 6).alias("lm_nll"),
+    )
+    rd = readability(docs).select(
+        "doc_id", F.round("flesch_ease", 6).alias("flesch_ease")
+    )
+    joined = q.join(lm, "doc_id").join(rd, "doc_id")
+    return signal_correlations(
+        joined, ["quality", "lm_nll", "flesch_ease"]
+    ).select("signal_a", "signal_b", "n", F.round("r", 6).alias("r"))
+
+
 def q_diameter_bounds(spark, sf_dir):
     """Double-sweep diameter bounds of the symmetrized page graph
     (operators/bfs.py double_sweep_bound — Magnien-Latapy-Habib): BFS
@@ -3097,6 +3130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fiedler_bisection": q_fiedler_bisection,
         "diameter_bounds": q_diameter_bounds,
         "bbit_minhash_dedup": q_bbit_minhash_dedup,
+        "quality_correlations": q_quality_correlations,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_link_graph": q_warc_link_graph,
         "robots_schedule": q_robots_schedule,
@@ -7566,6 +7600,102 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hitting_times": _hitting_rounds_sql(10, _WEB_EDGES_SQL)
         + "SELECT id, round(h, 6) AS hit_time FROM h10",
+        "quality_correlations": """
+            WITH q AS (
+                SELECT doc_id,
+                    round(((CASE WHEN length(text) BETWEEN 200 AND 20000
+                                 THEN 1.0
+                                 ELSE least(length(text)::DOUBLE / 200.0,
+                                            1.0) END)
+                           + (CASE WHEN
+                                  length(regexp_replace(text, '[^A-Za-z]',
+                                                        '', 'g'))::DOUBLE
+                                  / greatest(len(regexp_extract_all(
+                                        text, '[A-Za-z]+')), 1)
+                                  BETWEEN 3.0 AND 10.0
+                              THEN 1.0 ELSE 0.5 END)
+                           + length(regexp_replace(text, '[^A-Za-z ]',
+                                                   '', 'g'))::DOUBLE
+                             / greatest(length(text), 1)) / 3.0,
+                          6) AS quality
+                FROM documents),
+            toks AS MATERIALIZED (
+                SELECT doc_id,
+                       unnest(list_filter(string_split(text, ' '),
+                                          t -> t <> '')) AS term
+                FROM documents),
+            pd AS (SELECT doc_id, term, count(*) AS tf FROM toks
+                   GROUP BY doc_id, term),
+            vocab AS (SELECT term, sum(tf) AS ctf FROM pd GROUP BY term),
+            tot AS (SELECT sum(ctf)::DOUBLE AS t FROM vocab),
+            lmagg AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+                             sum(tf * -ln(ctf / (SELECT t FROM tot)))
+                                 AS nll
+                      FROM pd JOIN vocab USING (term) GROUP BY doc_id),
+            lm AS (SELECT d.doc_id,
+                          round(CASE WHEN coalesce(lmagg.n_tokens, 0) > 0
+                                     THEN lmagg.nll / lmagg.n_tokens
+                                     ELSE 0.0 END, 6) AS lm_nll
+                   FROM documents d
+                   LEFT JOIN lmagg ON d.doc_id = lmagg.doc_id),
+            rc AS (SELECT doc_id,
+                          len(regexp_extract_all(text, '[A-Za-z]+'))
+                              AS n_words,
+                          greatest(len(regexp_extract_all(text,
+                                                          '[.!?]+')), 1)
+                              AS n_sentences,
+                          len(regexp_extract_all(text,
+                                                 '[aeiouyAEIOUY]+'))
+                              AS n_syllables
+                   FROM documents),
+            rd AS (SELECT doc_id,
+                          round(206.835
+                                - 1.015 * (n_words::DOUBLE / n_sentences)
+                                - 84.6 * (n_syllables::DOUBLE / n_words),
+                                6) AS flesch_ease
+                   FROM rc WHERE n_words > 0),
+            j AS MATERIALIZED (
+                SELECT q.quality, lm.lm_nll, rd.flesch_ease
+                FROM q JOIN lm USING (doc_id) JOIN rd USING (doc_id)),
+            s AS (SELECT count(*) AS n,
+                         sum(quality) AS s_q, sum(quality * quality)
+                             AS ss_q,
+                         sum(lm_nll) AS s_l, sum(lm_nll * lm_nll)
+                             AS ss_l,
+                         sum(flesch_ease) AS s_f,
+                         sum(flesch_ease * flesch_ease) AS ss_f,
+                         sum(quality * lm_nll) AS sx_ql,
+                         sum(quality * flesch_ease) AS sx_qf,
+                         sum(lm_nll * flesch_ease) AS sx_lf
+                  FROM j)
+            SELECT 'quality' AS signal_a, 'lm_nll' AS signal_b,
+                   n::BIGINT AS n,
+                   CASE WHEN (n * ss_q - s_q * s_q) > 0
+                         AND (n * ss_l - s_l * s_l) > 0 THEN
+                       round((n * sx_ql - s_q * s_l)
+                             / sqrt((n * ss_q - s_q * s_q)
+                                    * (n * ss_l - s_l * s_l)), 6)
+                   END AS r
+            FROM s
+            UNION ALL
+            SELECT 'quality', 'flesch_ease', n::BIGINT,
+                   CASE WHEN (n * ss_q - s_q * s_q) > 0
+                         AND (n * ss_f - s_f * s_f) > 0 THEN
+                       round((n * sx_qf - s_q * s_f)
+                             / sqrt((n * ss_q - s_q * s_q)
+                                    * (n * ss_f - s_f * s_f)), 6)
+                   END
+            FROM s
+            UNION ALL
+            SELECT 'lm_nll', 'flesch_ease', n::BIGINT,
+                   CASE WHEN (n * ss_l - s_l * s_l) > 0
+                         AND (n * ss_f - s_f * s_f) > 0 THEN
+                       round((n * sx_lf - s_l * s_f)
+                             / sqrt((n * ss_l - s_l * s_l)
+                                    * (n * ss_f - s_f * s_f)), 6)
+                   END
+            FROM s
+        """,
         "lang_link_matrix": f"""
             WITH e AS MATERIALIZED (
                 SELECT DISTINCT src, dst FROM ({_WEB_EDGES_SQL}) we

@@ -104,3 +104,57 @@ def table_profile_sql(table: str, columns: list[str]) -> str:
 """
         )
     return " UNION ALL ".join(arms)
+
+
+def signal_correlations(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation matrix over numeric signal columns
+    -> (signal_a, signal_b, n, r), one row per unordered pair — the
+    pre-flight a mixture designer runs before BLENDING quality signals
+    (rank_fusion, quality gates): two signals correlated at 0.95 are
+    one signal, and weighting both double-counts it.
+
+    ONE aggregate computes every pair's five sufficient sums
+    (map-side combinable; rows with a NULL in any listed column are
+    dropped first so all pairs correlate the same support); the
+    pair rows are literal projections of that 1-row frame. r is NULL
+    for zero-variance signals rather than a division blowup."""
+    if len(cols) < 2:
+        raise ValueError("signal_correlations needs >= 2 columns")
+    clean = df.dropna(subset=list(cols))
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            aggs.append(
+                F.sum(F.col(a) * F.col(b)).alias(f"sx_{a}_{b}")
+            )
+    stats = clean.agg(*aggs)
+    parts = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            num = F.col("n") * F.col(f"sx_{a}_{b}") - F.col(
+                f"s_{a}"
+            ) * F.col(f"s_{b}")
+            va = F.col("n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(
+                f"s_{a}"
+            )
+            vb = F.col("n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(
+                f"s_{b}"
+            )
+            parts.append(
+                stats.select(
+                    F.lit(a).alias("signal_a"),
+                    F.lit(b).alias("signal_b"),
+                    F.col("n").alias("n"),
+                    F.when(
+                        (va > 0) & (vb > 0),
+                        num / F.sqrt(va * vb),
+                    ).alias("r"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

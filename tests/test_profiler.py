@@ -57,3 +57,46 @@ def test_table_profile_column_subset(spark):
     df = spark.createDataFrame([(1, "a")], "id long, s string")
     rows = table_profile(df, columns=["s"]).collect()
     assert [r["column"] for r in rows] == ["s"]
+
+
+def test_signal_correlations_matches_numpy(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from dxa_pagerank_spark.functions.profiler import signal_correlations
+
+    rng = np.random.RandomState(9)
+    x = rng.rand(80)
+    rows = [
+        (float(x[i]), float(2 * x[i] + 0.1 * rng.rand()), float(rng.rand()))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    got = {
+        (r["signal_a"], r["signal_b"]): (r["n"], r["r"])
+        for r in signal_correlations(df, ["a", "b", "c"]).collect()
+    }
+    arr = np.array(rows)
+    for (i, a), (j, b) in [((0, "a"), (1, "b")), ((0, "a"), (2, "c")),
+                           ((1, "b"), (2, "c"))]:
+        exp = float(np.corrcoef(arr[:, i], arr[:, j])[0, 1])
+        assert got[(a, b)][0] == 80
+        assert got[(a, b)][1] == _pytest.approx(exp, abs=1e-9)
+    # near-collinear pair flagged as such
+    assert got[("a", "b")][1] > 0.99
+
+
+def test_signal_correlations_null_rows_and_constant(spark):
+    import pytest as _pytest
+
+    from dxa_pagerank_spark.functions.profiler import signal_correlations
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (None, 1.0), (3.0, 5.0)],
+        "a double, b double",
+    )
+    rows = signal_correlations(df, ["a", "b"]).collect()
+    assert rows[0]["n"] == 3  # the NULL row is dropped from support
+    assert rows[0]["r"] is None  # b has zero variance
+    with _pytest.raises(ValueError):
+        signal_correlations(df, ["a"])

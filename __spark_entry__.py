@@ -1045,6 +1045,25 @@ def q_hrw_shards(spark, sf_dir):
     )
 
 
+def q_blockrank_init(spark, sf_dir):
+    """BlockRank warm-start vector (operators/blockrank.py — Kamvar
+    et al. 2003): per-host local PageRank (3 rounds, teleport and
+    dangling within the block) x host-graph PageRank (4 wpagerank
+    rounds over local-rank-weighted cross links), on the synthetic
+    site law (block 25). Sums to 1 by construction; feeds
+    pagerank(initial_ranks=...) as the global warm start. The oracle
+    unrolls both phases and the product."""
+    from dxa_pagerank_spark.operators.blockrank import blockrank_init
+
+    return blockrank_init(
+        spark,
+        _web_edges(spark, sf_dir),
+        block_size=25,
+        local_rounds=3,
+        host_rounds=4,
+    ).select("id", F.round("rank", 6).alias("rank"))
+
+
 def q_quality_correlations(spark, sf_dir):
     """Pairwise Pearson correlations between the engine's three
     cheap quality signals — heuristic composite, unigram-LM mean NLL,
@@ -3131,6 +3150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diameter_bounds": q_diameter_bounds,
         "bbit_minhash_dedup": q_bbit_minhash_dedup,
         "quality_correlations": q_quality_correlations,
+        "blockrank_init": q_blockrank_init,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_link_graph": q_warc_link_graph,
         "robots_schedule": q_robots_schedule,
@@ -5673,6 +5693,93 @@ def _fiedler_rounds_sql(k: int, edges_sql: str) -> str:
     return ",\n".join(parts) + "\n"
 
 
+def _blockrank_init_sql(
+    lr: int, hr: int, block: int, edges_sql: str
+) -> str:
+    """Unrolled BlockRank warm-start vector (operators/blockrank.py):
+    lr local rounds per host block (teleport/dangling within block),
+    host graph weighted by local-rank-scaled cross links, hr rounds
+    of the wpagerank law, init = l * hostpr. Ends with the final
+    SELECT (id, rank)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_sql})",
+        f"verts AS MATERIALIZED (SELECT id, id // {block} AS host FROM"
+        " (SELECT src AS id FROM edges UNION SELECT dst FROM edges) v)",
+        "hsize AS MATERIALIZED (SELECT host, count(*) AS n_h"
+        " FROM verts GROUP BY host)",
+        f"intra AS MATERIALIZED (SELECT src, dst FROM edges"
+        f" WHERE src // {block} = dst // {block})",
+        "ideg AS MATERIALIZED (SELECT src AS id, count(*) AS ideg"
+        " FROM intra GROUP BY src)",
+        "lew AS MATERIALIZED (SELECT i.src, i.dst, 1e0 / d.ideg AS w"
+        " FROM intra i JOIN ideg d ON i.src = d.id)",
+        "vb AS MATERIALIZED (SELECT v.id, v.host, h.n_h,"
+        " (d.id IS NULL) AS dang"
+        " FROM verts v JOIN hsize h USING (host)"
+        " LEFT JOIN ideg d ON v.id = d.id)",
+        "l0 AS MATERIALIZED (SELECT id, host, n_h, 1e0 / n_h AS l"
+        " FROM vb)",
+    ]
+    for i in range(1, lr + 1):
+        parts += [
+            f"lm{i} AS MATERIALIZED (SELECT vb.host,"
+            f" coalesce(sum(p.l), 0) AS m"
+            f" FROM vb JOIN l{i - 1} p ON vb.id = p.id"
+            f" WHERE vb.dang GROUP BY vb.host)",
+            f"lc{i} AS MATERIALIZED (SELECT lew.dst AS id,"
+            f" sum(p.l * lew.w) AS contrib"
+            f" FROM lew JOIN l{i - 1} p ON lew.src = p.id"
+            f" GROUP BY lew.dst)",
+            f"l{i} AS MATERIALIZED (SELECT vb.id, vb.host, vb.n_h,"
+            f" (1e0 - 0.85e0) / vb.n_h"
+            f" + 0.85e0 * coalesce(lm{i}.m, 0) / vb.n_h"
+            f" + 0.85e0 * coalesce(lc{i}.contrib, 0) AS l"
+            f" FROM vb LEFT JOIN lm{i} ON vb.host = lm{i}.host"
+            f" LEFT JOIN lc{i} ON vb.id = lc{i}.id)",
+        ]
+    parts += [
+        "gdeg AS MATERIALIZED (SELECT src AS id, count(*) AS gdeg"
+        " FROM edges GROUP BY src)",
+        f"he AS MATERIALIZED (SELECT e.src // {block} AS src,"
+        f" e.dst // {block} AS dst, sum(l.l / g.gdeg) AS weight"
+        f" FROM edges e JOIN gdeg g ON e.src = g.id"
+        f" JOIN l{lr} l ON e.src = l.id"
+        f" WHERE e.src // {block} <> e.dst // {block}"
+        f" GROUP BY 1, 2)",
+        "hv AS MATERIALIZED (SELECT DISTINCT host AS id FROM verts)",
+        "hn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM hv)",
+        "htot AS MATERIALIZED (SELECT src AS id, sum(weight) AS w_tot"
+        " FROM he GROUP BY src HAVING sum(weight) > 0)",
+        "hew AS MATERIALIZED (SELECT he.src, he.dst,"
+        " he.weight / t.w_tot AS w FROM he JOIN htot t"
+        " ON he.src = t.id)",
+        "hdang AS MATERIALIZED (SELECT id FROM hv"
+        " EXCEPT SELECT id FROM htot)",
+        "h0 AS MATERIALIZED (SELECT id, 1e0 / (SELECT n FROM hn)"
+        " AS rank FROM hv)",
+    ]
+    for i in range(1, hr + 1):
+        parts += [
+            f"hd{i} AS MATERIALIZED (SELECT coalesce(sum(rank), 0) AS m"
+            f" FROM h{i - 1} WHERE id IN (SELECT id FROM hdang))",
+            f"hc{i} AS MATERIALIZED (SELECT hew.dst AS id,"
+            f" sum(r.rank * hew.w) AS contrib"
+            f" FROM hew JOIN h{i - 1} r ON hew.src = r.id"
+            f" GROUP BY hew.dst)",
+            f"h{i} AS MATERIALIZED (SELECT v.id,"
+            f" (1e0 - 0.85e0) / (SELECT n FROM hn)"
+            f" + 0.85e0 * (SELECT m FROM hd{i}) / (SELECT n FROM hn)"
+            f" + 0.85e0 * coalesce(hc{i}.contrib, 0) AS rank"
+            f" FROM hv v LEFT JOIN hc{i} ON v.id = hc{i}.id)",
+        ]
+    parts_sql = ",\n".join(parts)
+    return (
+        parts_sql
+        + f"\nSELECT l.id, round(l.l * h.rank, 6) AS rank"
+        f" FROM l{lr} l JOIN h{hr} h ON l.host = h.id"
+    )
+
+
 def _hitting_rounds_sql(k: int, edges_sql: str) -> str:
     """Unrolled truncated-hitting-time value iteration
     (operators/hitting.py; targets = top-3 out-degree, ties min id;
@@ -7600,6 +7707,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hitting_times": _hitting_rounds_sql(10, _WEB_EDGES_SQL)
         + "SELECT id, round(h, 6) AS hit_time FROM h10",
+        "blockrank_init": _blockrank_init_sql(3, 4, 25, _WEB_EDGES_SQL),
         "quality_correlations": """
             WITH q AS (
                 SELECT doc_id,

@@ -659,3 +659,27 @@ def test_session_new_pipeline_ops_plans(spark):
         assert p.count("BroadcastNestedLoopJoin") <= 2 * nlj_nodes
         assert "BatchEvalPython" not in p
         assert "ArrowEvalPython" not in p
+
+
+def test_blockrank_phase_plans(spark):
+    """BlockRank's local round and init product stay equi-join shaped
+    (host- or vertex-keyed), no cartesian, no Python."""
+    from dxa_pagerank_spark.operators.blockrank import (
+        blockrank_init,
+        local_block_pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (2, 3), (3, 2), (1, 2)], "src long, dst long"
+    )
+    for df in (
+        local_block_pagerank(spark, edges, block_size=2, rounds=1),
+        blockrank_init(
+            spark, edges, block_size=2, local_rounds=1, host_rounds=1
+        ),
+    ):
+        p = _plan(df)
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "BatchEvalPython" not in p
+        assert "ArrowEvalPython" not in p

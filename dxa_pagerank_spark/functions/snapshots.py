@@ -191,3 +191,60 @@ def edge_delta_report(
             6,
         ).alias("edge_churn"),
     )
+
+
+def change_rate(
+    observations: DataFrame,
+    url_col: str = "url",
+    changed_col: str = "changed",
+    interval_days: float = 1.0,
+) -> DataFrame:
+    """Per-url Poisson change-rate estimate from repeated recrawl
+    observations (Cho & Garcia-Molina, "Estimating frequency of
+    change", ACM TOIT 2003): with n equal-interval accesses of which
+    X detected a change, the consistent estimator for the daily
+    change rate is
+
+        lambda_hat = -ln((n - X + 0.5) / (n + 0.5)) / interval_days
+
+    — the paper's bias-reduced form (eq. for r_hat with the +0.5
+    regularizer), which stays finite at X = n where the naive
+    -ln(1 - X/n) MLE diverges (a page that changed every visit is
+    changing FASTER than the crawl samples, not infinitely fast).
+    suggested_revisit_days = 1 / lambda_hat (capped below at the
+    observation interval — revisiting faster than we ever sampled is
+    extrapolation the estimator cannot support).
+
+    Input: (url, changed) rows, one per recrawl observation (the
+    output shape of crawl_delta restricted to status in
+    ('changed', 'unchanged'), unioned across crawl cycles).
+
+    100-TB shape: ONE map-side-combinable groupBy(url) — counts only;
+    the two floats per url fold at output. Rows with other statuses
+    (added/removed) are not observations of an existing page and are
+    ignored.
+    """
+    obs = observations.select(
+        F.col(url_col).alias("url"),
+        F.col(changed_col).cast("int").alias("x"),
+    )
+    agg = obs.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("x").alias("n_changed"),
+    )
+    lam = -F.log(
+        (F.col("n_obs") - F.col("n_changed") + F.lit(0.5))
+        / (F.col("n_obs") + F.lit(0.5))
+    ) / F.lit(float(interval_days))
+    return agg.select(
+        "url",
+        "n_obs",
+        "n_changed",
+        lam.alias("change_rate"),
+        F.when(
+            lam > 0,
+            F.greatest(
+                F.lit(1.0) / lam, F.lit(float(interval_days))
+            ),
+        ).alias("revisit_days"),
+    )

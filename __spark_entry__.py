@@ -1081,6 +1081,31 @@ def q_site_lang_entropy(spark, sf_dir):
     )
 
 
+def q_inlink_diversity(spark, sf_dir):
+    """Per-target in-link host diversity over the page graph with the
+    synthetic site law (block 25): total in-links, distinct linking
+    hosts, and their ratio — the classic link-spam signal (a page
+    whose thousands of in-links come from 2 hosts is bought, not
+    endorsed). Exact counts, one division; the oracle regenerates the
+    edge multiset and replays both aggregates."""
+    e = _web_edges(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    per_edge = e.select(
+        "dst", (F.col("src") / 25).cast("long").alias("src_host")
+    )
+    agg = per_edge.groupBy("dst").agg(
+        F.count(F.lit(1)).alias("n_inlinks"),
+        F.countDistinct("src_host").alias("n_hosts"),
+    )
+    return agg.select(
+        F.col("dst").alias("id"),
+        "n_inlinks",
+        "n_hosts",
+        F.round(
+            F.col("n_hosts") / F.col("n_inlinks"), 6
+        ).alias("host_diversity"),
+    )
+
+
 def q_change_rates(spark, sf_dir):
     """Per-url Poisson change-rate estimation over a 3-cycle synthetic
     crawl series (functions/snapshots.py change_rate — Cho &
@@ -3254,6 +3279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_jsd": q_corpus_jsd,
         "site_lang_entropy": q_site_lang_entropy,
         "change_rates": q_change_rates,
+        "inlink_diversity": q_inlink_diversity,
         "warc_roundtrip": q_warc_roundtrip,
         "warc_link_graph": q_warc_link_graph,
         "robots_schedule": q_robots_schedule,
@@ -7811,6 +7837,18 @@ def oracle_sql() -> dict[str, str]:
         "hitting_times": _hitting_rounds_sql(10, _WEB_EDGES_SQL)
         + "SELECT id, round(h, 6) AS hit_time FROM h10",
         "blockrank_init": _blockrank_init_sql(3, 4, 25, _WEB_EDGES_SQL),
+        "inlink_diversity": f"""
+            WITH e AS (SELECT src, dst FROM ({_WEB_EDGES_SQL}) we
+                       WHERE src <> dst),
+            a AS (SELECT dst, count(*) AS n_inlinks,
+                         count(DISTINCT src // 25) AS n_hosts
+                  FROM e GROUP BY dst)
+            SELECT dst AS id, n_inlinks::BIGINT AS n_inlinks,
+                   n_hosts::BIGINT AS n_hosts,
+                   round(n_hosts::DOUBLE / n_inlinks, 6)
+                       AS host_diversity
+            FROM a
+        """,
         "change_rates": """
             WITH cls AS (
                 SELECT doc_id,

@@ -683,3 +683,39 @@ def test_blockrank_phase_plans(spark):
         assert "BroadcastNestedLoopJoin" not in p
         assert "BatchEvalPython" not in p
         assert "ArrowEvalPython" not in p
+
+
+def test_session_final_batch_plans(spark):
+    """JSD, change-rate, NB language ID: combine-heavy aggregates and
+    broadcast model joins only — no cartesian beyond the documented
+    labels-crossJoin (labels-sized broadcast), no Python."""
+    from pyspark.sql import functions as F
+
+    from dxa_pagerank_spark.functions.langnb import nb_classify, nb_train
+    from dxa_pagerank_spark.functions.snapshots import change_rate
+    from dxa_pagerank_spark.functions.terms import corpus_divergence
+
+    docs = spark.createDataFrame(
+        [(0, "en", "aaa bbb ccc"), (1, "de", "xxx yyy zzz")],
+        "doc_id long, lang string, text string",
+    )
+    jsd = corpus_divergence(docs, "lang", "en", "de")
+    p = _plan(jsd)
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+
+    obs = spark.createDataFrame(
+        [("u", True), ("u", False)], "url string, changed boolean"
+    )
+    p = _plan(change_rate(obs))
+    assert "Exchange" in p  # exactly the one groupBy
+    assert "BatchEvalPython" not in p
+    assert "CartesianProduct" not in p
+
+    model, stats = nb_train(docs)
+    p = _plan(nb_classify(docs, model, stats))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    # the model join is a broadcast (vocabulary-domain table)
+    assert "BroadcastHashJoin" in p

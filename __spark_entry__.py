@@ -1138,9 +1138,6 @@ def q_change_rates(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
 
     def cycle(t):
-        amend = (
-            (F.col("doc_id") % 13 == 0) & (F.lit(t) >= 2)
-        ) | ((F.col("doc_id") % 11 == 0) & (F.lit(t) >= 2))
         body = F.when(
             (F.col("doc_id") % 13 == 0) & (F.lit(t) >= 2),
             F.concat(F.col("text"), F.lit(f" rev{t}")),
@@ -1148,7 +1145,6 @@ def q_change_rates(spark, sf_dir):
             (F.col("doc_id") % 11 == 0) & (F.lit(t) >= 2),
             F.concat(F.col("text"), F.lit(" amended")),
         ).otherwise(F.col("text"))
-        _ = amend
         return docs.select(
             page_url(F.col("doc_id")).alias("url"), body.alias("text")
         )

@@ -35,11 +35,20 @@ from pyspark.sql import functions as F
 
 
 def wl_refinement(
-    edges: DataFrame, rounds: int = 2
+    edges: DataFrame, rounds: int = 2, max_degree: int | None = None
 ) -> DataFrame:
     """-> (id, wl_label): md5-hex structural color after `rounds`
     refinement rounds over the distinct non-loop directed edge set.
-    Round 0 colors by the (out_degree, in_degree) pair."""
+    Round 0 colors by the (out_degree, in_degree) pair.
+
+    max_degree (optional) is the skew guard for web-scale graphs: the
+    refinement runs on the subgraph with vertices of TOTAL degree >
+    max_degree removed entirely (hubs and their incident edges) —
+    removal, not truncation, so the cap is a well-defined graph
+    operation with exact semantics (truncating a hub's multiset would
+    make its color depend on arbitrary neighbor order). Hub pages are
+    precisely the ones whose templates the fingerprint does not need;
+    the degree filter is one aggregate + semi-join before the loop."""
     if rounds < 0:
         raise ValueError("rounds must be >= 0")
     e = (
@@ -47,6 +56,21 @@ def wl_refinement(
         .select("src", "dst")
         .distinct()
     )
+    if max_degree is not None:
+        if max_degree < 1:
+            raise ValueError("max_degree must be >= 1")
+        tot = (
+            e.select(F.col("src").alias("id"))
+            .unionAll(e.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = tot.filter(F.col("d") <= max_degree).select("id")
+        e = e.join(
+            keep.withColumnRenamed("id", "src"), "src", "left_semi"
+        ).join(
+            keep.withColumnRenamed("id", "dst"), "dst", "left_semi"
+        )
     out_deg = e.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("od")
     )

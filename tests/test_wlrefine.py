@@ -81,3 +81,27 @@ def test_wl_class_sizes(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     rows = wl_class_sizes(df, rounds=2).collect()
     assert len(rows) == 1 and rows[0]["n_vertices"] == 4
+
+
+def test_wl_max_degree_cap_removes_hubs(spark):
+    # star hub 0 with 10 spokes + a separate 2-cycle: capping at
+    # degree 3 removes the hub AND its edges; the 2-cycle survives
+    # and equals the uncapped refinement of the cycle alone
+    edges = [(i, 0) for i in range(1, 11)] + [(20, 21), (21, 20)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    capped = _run_df(spark, df, rounds=2, max_degree=3)
+    assert set(capped) == {20, 21}
+    cyc = spark.createDataFrame(
+        [(20, 21), (21, 20)], "src long, dst long"
+    )
+    plain = _run_df(spark, cyc, rounds=2, max_degree=None)
+    assert capped == plain
+
+
+def _run_df(spark, df, rounds, max_degree):
+    return {
+        r["id"]: r["wl_label"]
+        for r in wl_refinement(
+            df, rounds=rounds, max_degree=max_degree
+        ).collect()
+    }

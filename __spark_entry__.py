@@ -1170,9 +1170,13 @@ def q_change_rates(spark, sf_dir):
             page_url(F.col("doc_id")).alias("url"), body.alias("text")
         )
 
+    # build each crawl cycle once and persist: cycle(2) feeds two deltas
+    # (as old and as new), and without the cache the pages projection is
+    # recomputed 4x instead of 3.
+    cycles = {t: cycle(t).persist() for t in (1, 2, 3)}
     obs = None
     for t in (2, 3):
-        d = crawl_delta(cycle(t - 1), cycle(t)).filter(
+        d = crawl_delta(cycles[t - 1], cycles[t]).filter(
             F.col("status").isin(["changed", "unchanged"])
         ).select("url", (F.col("status") == "changed").alias("changed"))
         obs = d if obs is None else obs.unionAll(d)
@@ -7388,7 +7392,8 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents),
             keyed AS (
                 SELECT doc_id, lang,
-                       -ln(((doc_id * 2654435761) % 4294967296 + 1.0)
+                       -ln((((doc_id % 2147483648) * 2654435761)
+                                % 4294967296 + 1.0)
                            / 4294967296.0) / w AS res_key
                 FROM t WHERE w > 0),
             r AS (SELECT doc_id, lang, res_key,
@@ -7905,7 +7910,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
                    round(CASE WHEN coalesce(agg.n_bigrams, 0) > 0
                               THEN agg.nll / agg.n_bigrams
-                              ELSE 0.0 END, 6) AS mean_neg_logprob
+                              ELSE 0.0 END, 6) + 0 AS mean_neg_logprob
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         """,
         "hitting_times": _hitting_rounds_sql(10, _WEB_EDGES_SQL)
@@ -7988,7 +7993,9 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)
             SELECT 'https://example.org/doc/' || doc_id AS url,
                    2::BIGINT AS n_obs, x::BIGINT AS n_changed,
-                   round(-ln((2 - x + 0.5) / (2 + 0.5)) / 1.0, 6)
+                   -- "+ 0" normalizes IEEE -0.0 (from -ln(1.0)) to +0.0 so the
+                   -- bit-pattern hash matches Spark's BigDecimal-backed round.
+                   round(-ln((2 - x + 0.5) / (2 + 0.5)) / 1.0, 6) + 0
                        AS change_rate,
                    CASE WHEN -ln((2 - x + 0.5) / (2 + 0.5)) / 1.0 > 0
                         THEN round(greatest(
@@ -8089,7 +8096,7 @@ def oracle_sql() -> dict[str, str]:
             lm AS (SELECT d.doc_id,
                           round(CASE WHEN coalesce(lmagg.n_tokens, 0) > 0
                                      THEN lmagg.nll / lmagg.n_tokens
-                                     ELSE 0.0 END, 6) AS lm_nll
+                                     ELSE 0.0 END, 6) + 0 AS lm_nll
                    FROM documents d
                    LEFT JOIN lmagg ON d.doc_id = lmagg.doc_id),
             rc AS (SELECT doc_id,
@@ -8310,7 +8317,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(agg.n_bigrams, 0)::BIGINT AS n_bigrams,
                    round(CASE WHEN coalesce(agg.n_bigrams, 0) > 0
                               THEN agg.nll / agg.n_bigrams
-                              ELSE 0.0 END, 6) AS mean_neg_logprob
+                              ELSE 0.0 END, 6) + 0 AS mean_neg_logprob
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         """,
         "powerlaw_alpha": f"""
@@ -8386,7 +8393,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
                    round(CASE WHEN coalesce(agg.n_tokens, 0) > 0
                               THEN agg.nll / agg.n_tokens
-                              ELSE 0.0 END, 6) AS mean_neg_logprob
+                              ELSE 0.0 END, 6) + 0 AS mean_neg_logprob
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
         """,
         "lm_quality_buckets": """
@@ -8407,7 +8414,7 @@ def oracle_sql() -> dict[str, str]:
                        coalesce(agg.n_tokens, 0)::BIGINT AS n_tokens,
                        round(CASE WHEN coalesce(agg.n_tokens, 0) > 0
                                   THEN agg.nll / agg.n_tokens
-                                  ELSE 0.0 END, 6) AS score
+                                  ELSE 0.0 END, 6) + 0 AS score
                 FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id),
             cuts AS (SELECT lang,
                             round(quantile_cont(score, 1.0/3), 6) AS c1,

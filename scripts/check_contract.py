@@ -3,6 +3,13 @@ __spark_entry__.queries() entry at sf0.01 and compare against
 oracle_sql() via DuckDB — row count, column names, and exact
 order-insensitive values (mirrors the driver's value-hash).
 
+Float columns are compared by their raw IEEE-754 bit patterns (NaN
+canonicalized to the single quiet payload 0x7ff8...), matching the
+driver's bitwise value-hash: `-0.0` vs `+0.0` is a FAIL here, exactly
+as it is at the driver — pandas' numeric `==` (where -0.0 == 0.0) and
+any round-to-k-decimals tolerance are one representation class weaker
+and certified a query (change_rates, r03) the driver rejected.
+
 Usage: python scripts/check_contract.py [query ...]
 """
 
@@ -15,6 +22,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
 
 import __spark_entry__ as entrymod  # noqa: E402
@@ -26,6 +34,20 @@ TABLES = (
     "documents embeddings".split()
 )
 
+_CANON_NAN = np.uint64(0x7FF8000000000000)
+
+
+def _float_bits(series: pd.Series) -> pd.Series:
+    """float64 -> exact IEEE-754 bit pattern, one canonical NaN payload.
+
+    Preserves the -0.0 / +0.0 distinction on purpose: the driver's
+    value-hash is bitwise, so the local gate must be too.
+    """
+    v = series.astype("float64").to_numpy(dtype="float64", na_value=np.nan)
+    bits = v.view(np.uint64).copy()
+    bits[np.isnan(v)] = _CANON_NAN
+    return pd.Series(bits, index=series.index)
+
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
@@ -33,7 +55,7 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object:
             df[c] = df[c].astype(str)
         elif str(df[c].dtype).startswith("float"):
-            df[c] = df[c].astype("float64").round(9)
+            df[c] = _float_bits(df[c])
         elif str(df[c].dtype).startswith(("int", "uint")):
             df[c] = df[c].astype("int64")
     return df.sort_values(by=list(df.columns), ignore_index=True)

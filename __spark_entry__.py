@@ -3281,19 +3281,102 @@ _EXACT_JACCARD_PAIRS_SQL = """
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry order = driver-verification priority. CORRECTNESS_r02
-    shows the driver checks a prefix of this dict (it covered exactly
-    the first 50 of 55), so queries are ordered: (1) never
-    driver-checked (round-3 additions; the latest session's 25 lead),
-    then (2) the 50 entries with green r02 rows. Every entry has an
-    oracle and is verified locally by scripts/check_contract.py
-    regardless of driver budget."""
+    """Registry order = driver-verification priority. The driver
+    checks a 50-query prefix of this dict per round (CORRECTNESS_r02/
+    r03), so queries are ordered: (1) the 79 entries without a green
+    driver row after r03 — change_rates (oracle -0.0 fixed this round)
+    and the verdict's load-bearing list first, then cheapest-first by
+    the r03 contract-log timings (first 50 sum to ~134 s at sf0.01);
+    then (2) the 102 entries already green in some round. Every entry
+    has an oracle and is certified locally by the bit-exact
+    scripts/check_contract.py regardless of driver budget."""
     return {
-        # -- (1) no driver row yet (round-3 additions; the driver
-        #        checks a prefix under a budget, so never-verified
-        #        queries lead, cheapest first to maximize coverage) --
-        # -- (1a) this session's additions (no driver row yet),
-        #        cheapest first --
+        # -- (1) no driver row yet (79 after r03: the 78 never-
+        #        sampled + change_rates, whose oracle -0.0 is now
+        #        fixed). Load-bearing operators lead, then
+        #        cheapest-first by the r03 contract-log timings,
+        #        so the driver's 50-query prefix drains the
+        #        backlog. --
+        "change_rates": q_change_rates,
+        "web_louvain": q_web_louvain,
+        "site_betweenness": q_site_betweenness,
+        "topic_pagerank": q_topic_pagerank,
+        "incremental_pagerank": q_incremental_pagerank,
+        "pagerank_resume_4rounds": q_pagerank_resume_4rounds,
+        "k_truss_4": q_k_truss_4,
+        "bm25_topk": q_bm25_topk,
+        "bm25f_topk": q_bm25f_topk,
+        "kmeans_clusters": q_kmeans_clusters,
+        "semdedup_prune": q_semdedup_prune,
+        "pq_topk": q_pq_topk,
+        "textrank_keywords": q_textrank_keywords,
+        "fixed_chunks": q_fixed_chunks,
+        "jl_projection": q_jl_projection,
+        "phrase_search": q_phrase_search,
+        "web_boilerplate_lines": q_web_boilerplate_lines,
+        "fuzzy_terms": q_fuzzy_terms,
+        "mirror_sites": q_mirror_sites,
+        "trending_terms": q_trending_terms,
+        "cm_heavy_hitters": q_cm_heavy_hitters,
+        "bloom_blocklist": q_bloom_blocklist,
+        "best_snippets": q_best_snippets,
+        "triangle_count_doulion": q_triangle_count_doulion,
+        "lm_quality": q_lm_quality,
+        "benchmark_contamination": q_benchmark_contamination,
+        "sequence_packing": q_sequence_packing,
+        "containment_pairs": q_containment_pairs,
+        "repetition_stats": q_repetition_stats,
+        "substring_dup_spans": q_substring_dup_spans,
+        "quality_classifier": q_quality_classifier,
+        "substring_dedup_stats": q_substring_dedup_stats,
+        "table_profile": q_table_profile,
+        "web_line_dedup": q_web_line_dedup,
+        "redirect_resolution": q_redirect_resolution,
+        "anchor_expanded_docs": q_anchor_expanded_docs,
+        "packing_report": q_packing_report,
+        "lm_quality_buckets": q_lm_quality_buckets,
+        "corpus_diversity": q_corpus_diversity,
+        "pmi_neighbors": q_pmi_neighbors,
+        "bigram_lm": q_bigram_lm,
+        "training_mix_report": q_training_mix_report,
+        "powerlaw_alpha": q_powerlaw_alpha,
+        "cdc_dedup": q_cdc_dedup,
+        "rmat_skew": q_rmat_skew,
+        "feature_smoothing": q_feature_smoothing,
+        "bucketed_gather": q_bucketed_gather,
+        "web_katz": q_web_katz,
+        "dsir_sample": q_dsir_sample,
+        "web_triad_census": q_web_triad_census,
+        "web_harmonic": q_web_harmonic,
+        "web_neighborhood": q_web_neighborhood,
+        "web_effective_diameter": q_web_effective_diameter,
+        "site_simrank": q_site_simrank,
+        "walk_skipgrams": q_walk_skipgrams,
+        "web_link_prediction": q_web_link_prediction,
+        "web_mis": q_web_mis,
+        "degree_skew": q_degree_skew,
+        "ann_topk_ivf": q_ann_topk_ivf,
+        "component_histogram": q_component_histogram,
+        "dedup_canonical": q_dedup_canonical,
+        "blended_topic_rank": q_blended_topic_rank,
+        "bpe_token_counts": q_bpe_token_counts,
+        "site_sssp": q_site_sssp,
+        "incremental_near_dup": q_incremental_near_dup,
+        "bpe_merges": q_bpe_merges,
+        "site_coloring": q_site_coloring,
+        "site_coreness": q_site_coreness,
+        "incremental_components": q_incremental_components,
+        "lpa_modularity": q_lpa_modularity,
+        "pagerank_mc": q_pagerank_mc,
+        "site_mst": q_site_mst,
+        "web_salsa": q_web_salsa,
+        "crawl_budget": q_crawl_budget,
+        "web_condensation": q_web_condensation,
+        "web_spam_mass": q_web_spam_mass,
+        "web_landmark_distances": q_web_landmark_distances,
+        "rank_fusion": q_rank_fusion,
+        "crawl_schedule": q_crawl_schedule,
+        # -- (2) driver-checked green in r01-r03 ----------------
         "zorder_keys": q_zorder_keys,
         "lang_link_matrix": q_lang_link_matrix,
         "hitting_times": q_hitting_times,
@@ -3315,7 +3398,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blockrank_init": q_blockrank_init,
         "corpus_jsd": q_corpus_jsd,
         "site_lang_entropy": q_site_lang_entropy,
-        "change_rates": q_change_rates,
         "inlink_diversity": q_inlink_diversity,
         "nb_lang_pred": q_nb_lang_pred,
         "seeded_labels": q_seeded_labels,
@@ -3344,80 +3426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_overlap": q_vocab_overlap,
         "decontamination": q_decontamination,
         "latest_snapshots": q_latest_snapshots,
-        "lm_quality": q_lm_quality,
-        "trending_terms": q_trending_terms,
-        "web_boilerplate_lines": q_web_boilerplate_lines,
-        "repetition_stats": q_repetition_stats,
-        "substring_dedup_stats": q_substring_dedup_stats,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "benchmark_contamination": q_benchmark_contamination,
-        "sequence_packing": q_sequence_packing,
-        "substring_dup_spans": q_substring_dup_spans,
         "frame_samples": q_frame_samples,
-        "web_line_dedup": q_web_line_dedup,
-        "table_profile": q_table_profile,
-        "redirect_resolution": q_redirect_resolution,
-        "containment_pairs": q_containment_pairs,
-        "bm25_topk": q_bm25_topk,
-        "anchor_expanded_docs": q_anchor_expanded_docs,
-        "bigram_lm": q_bigram_lm,
-        "packing_report": q_packing_report,
-        "training_mix_report": q_training_mix_report,
-        "corpus_diversity": q_corpus_diversity,
-        "powerlaw_alpha": q_powerlaw_alpha,
-        "rmat_skew": q_rmat_skew,
-        "cm_heavy_hitters": q_cm_heavy_hitters,
-        "bloom_blocklist": q_bloom_blocklist,
-        "fixed_chunks": q_fixed_chunks,
-        "bm25f_topk": q_bm25f_topk,
-        "best_snippets": q_best_snippets,
-        "fuzzy_terms": q_fuzzy_terms,
-        "phrase_search": q_phrase_search,
-        "pmi_neighbors": q_pmi_neighbors,
-        "cdc_dedup": q_cdc_dedup,
-        "bucketed_gather": q_bucketed_gather,
-        "bpe_token_counts": q_bpe_token_counts,
-        "feature_smoothing": q_feature_smoothing,
-        "dsir_sample": q_dsir_sample,
-        "kmeans_clusters": q_kmeans_clusters,
-        "bpe_merges": q_bpe_merges,
         "embedding_near_dup": q_embedding_near_dup,
-        "degree_skew": q_degree_skew,
-        "web_triad_census": q_web_triad_census,
-        "lm_quality_buckets": q_lm_quality_buckets,
-        "quality_classifier": q_quality_classifier,
-        "semdedup_prune": q_semdedup_prune,
-        "textrank_keywords": q_textrank_keywords,
-        "web_neighborhood": q_web_neighborhood,
-        "walk_skipgrams": q_walk_skipgrams,
-        "blended_topic_rank": q_blended_topic_rank,
-        "web_harmonic": q_web_harmonic,
-        "topic_pagerank": q_topic_pagerank,
-        "web_mis": q_web_mis,
-        "web_louvain": q_web_louvain,
-        "web_katz": q_web_katz,
-        "ann_topk_ivf": q_ann_topk_ivf,
-        "site_sssp": q_site_sssp,
-        "site_betweenness": q_site_betweenness,
-        "site_coloring": q_site_coloring,
-        "web_effective_diameter": q_web_effective_diameter,
-        "k_truss_4": q_k_truss_4,
-        "site_simrank": q_site_simrank,
-        "site_coreness": q_site_coreness,
-        "pagerank_resume_4rounds": q_pagerank_resume_4rounds,
-        "jl_projection": q_jl_projection,
-        "incremental_components": q_incremental_components,
-        "lpa_modularity": q_lpa_modularity,
-        "site_mst": q_site_mst,
-        "incremental_pagerank": q_incremental_pagerank,
-        "pq_topk": q_pq_topk,
-        "web_salsa": q_web_salsa,
-        "web_spam_mass": q_web_spam_mass,
-        "web_link_prediction": q_web_link_prediction,
-        "component_histogram": q_component_histogram,
-        "crawl_schedule": q_crawl_schedule,
-        "rank_fusion": q_rank_fusion,
-        # -- (2) driver-checked green in r02 ---------------------------
         "web_pagerank": q_web_pagerank,
         "web_page_text": q_web_page_text,
         "anchor_text_stats": q_anchor_text_stats,
@@ -3425,15 +3436,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "site_pagerank": q_site_pagerank,
         "web_scc": q_web_scc,
         "web_bowtie": q_web_bowtie,
-        "web_condensation": q_web_condensation,
         "web_cocitation": q_web_cocitation,
         "web_coupling": q_web_coupling,
         "web_walks": q_web_walks,
-        "pagerank_mc": q_pagerank_mc,
-        "crawl_budget": q_crawl_budget,
         "web_bfs_levels": q_web_bfs_levels,
-        "web_landmark_distances": q_web_landmark_distances,
-        "mirror_sites": q_mirror_sites,
         "web_distance_histogram": q_web_distance_histogram,
         "graph_reciprocity": q_graph_reciprocity,
         "degree_assortativity": q_degree_assortativity,
@@ -3448,7 +3454,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_topk": q_term_topk,
         "tfidf_topk": q_tfidf_topk,
         "minhash_dedup_groups": q_minhash_dedup_groups,
-        "dedup_canonical": q_dedup_canonical,
         "simhash_dedup_groups": q_simhash_dedup_groups,
         "ann_topk_lsh": q_ann_topk_lsh,
         "out_degrees": q_out_degrees,
@@ -3462,7 +3467,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_one_round": q_lpa_one_round,
         "label_propagation": q_label_propagation,
         "triangle_count": q_triangle_count,
-        "triangle_count_doulion": q_triangle_count_doulion,
         "clustering_coeff": q_clustering_coeff,
         "tpch_q1ish": q_tpch_q1ish,
         "supplier_revenue": q_supplier_revenue,
@@ -3472,7 +3476,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_stats": q_dedup_exact_stats,
         "ann_topk": q_ann_topk,
         "minhash_dedup": q_minhash_dedup,
-        "incremental_near_dup": q_incremental_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
         "lang_id": q_lang_id,
         "doc_fingerprint": q_doc_fingerprint,

@@ -161,19 +161,40 @@ def _attach(verts: DataFrame, parents: DataFrame) -> DataFrame:
     )
 
 
+def _edge_signature(edges: DataFrame):
+    """One map-side-combinable aggregate summarizing the edge SET:
+    (count, sum of xxhash64(u,v), sum of seeded xxhash64). Both phases
+    emit distinct pairs, so set equality reduces to signature equality
+    up to a 2^-128 dual-hash collision — one cheap job over the
+    already-checkpointed blocks, replacing the two full-edge-set
+    exceptAll shuffles per round the r03 audit flagged (each was a
+    shuffle of BOTH generations purely to detect convergence)."""
+    # decimal(38,0) sums: a long-typed sum of 64-bit hashes overflows
+    # under ANSI mode; decimal is exact to 10^38 (~10^19 edges here).
+    return tuple(
+        edges.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")),
+            F.sum(
+                F.xxhash64(F.lit(0x9E3779B9), "u", "v").cast("decimal(38,0)")
+            ),
+        ).collect()[0]
+    )
+
+
 def _two_phase(
     pairs: DataFrame, max_rounds: int, stats: dict | None = None
 ) -> DataFrame:
     edges = pairs
+    sig = _edge_signature(edges)
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
         after = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         # fixpoint: the star edge set is invariant under both phases
-        changed = (
-            after.exceptAll(edges).limit(1).count() > 0
-            or edges.exceptAll(after).limit(1).count() > 0
-        )
+        after_sig = _edge_signature(after)
+        changed = after_sig != sig
+        sig = after_sig
         old = edges
         edges = after
         if old is not pairs:

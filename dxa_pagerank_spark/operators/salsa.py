@@ -25,11 +25,16 @@ setup (one groupBy per side) and the weighted edges are persisted in
 BOTH join orientations (hash-partitioned by src for the auth gather,
 by dst for the hub gather), so neither half-step re-exchanges the
 100-TB side; map-side partial aggregation shrinks each gather product
-to ~|V| rows before its exchange. One action per round (the
-normalization sum) is the BSP barrier; lineage truncated per round via
-localCheckpoint. (hits.py keeps a single src-partitioned copy and pays
-an edge re-exchange in its dst-side gather; SALSA's weighted table is
-where the two-orientation trick pays for its memory.)
+to ~|V| rows before its exchange. Each gather executes exactly ONCE
+per round: its product is localCheckpoint-ed, the L1 total is then a
+trivial scan of the cached ~|V| rows, and the normalizing division is
+folded into the next half-step's expression as a collected literal
+(the dangling-lump trick, pagerank.py) — previously the
+un-materialized gather re-executed for the total and again downstream,
+3 heavy jobs per round for 2 gathers. (hits.py keeps a single
+src-partitioned copy and pays an edge re-exchange in its dst-side
+gather; SALSA's weighted table is where the two-orientation trick pays
+for its memory.)
 """
 
 from __future__ import annotations
@@ -80,23 +85,31 @@ def salsa(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = verts.count()
-    state = verts.select(
+    state_ckpt = verts.select(
         "id", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
     ).localCheckpoint(eager=True)
+    state = state_ckpt
 
     try:
         for _ in range(rounds):
-            # auth step: pull degree-split hub mass along in-edges
+            # auth step: pull degree-split hub mass along in-edges.
+            # Checkpoint the gather product FIRST, then take the L1
+            # total as a trivial scan of the cached ~|V| rows and fold
+            # the division in as a literal (the dangling-lump trick,
+            # pagerank.py): previously the un-materialized gather
+            # re-executed once for the total and again in the hub
+            # half-step — 3 heavy executions per round for 2 gathers.
             a = (
                 e_fwd.join(state.select(F.col("id").alias("src"), "hub"), "src")
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.sum(F.col("hub") * F.col("w_fwd")).alias("a_raw"))
+                .localCheckpoint(eager=True)
             )
+            tot_a = a.agg(F.sum("a_raw")).collect()[0][0] or 1.0
             st = verts.join(a, "id", "left").select(
-                "id", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw")
+                "id",
+                (F.coalesce("a_raw", F.lit(0.0)) / tot_a).alias("auth"),
             )
-            tot_a = st.agg(F.sum("a_raw")).collect()[0][0] or 1.0
-            st = st.select("id", (F.col("a_raw") / tot_a).alias("auth"))
             # hub step: pull degree-split auth mass along out-edges
             h = (
                 e_bwd.join(st.select(F.col("id").alias("dst"), "auth"), "dst")
@@ -109,13 +122,16 @@ def salsa(
                 .select(
                     "id", "auth", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw")
                 )
+                .localCheckpoint(eager=True)
             )
             tot_h = st2.agg(F.sum("h_raw")).collect()[0][0] or 1.0
-            old = state
+            old = state_ckpt
+            state_ckpt = st2
             state = st2.select(
                 "id", "auth", (F.col("h_raw") / tot_h).alias("hub")
-            ).localCheckpoint(eager=True)
+            )
             old.unpersist()
+            a.unpersist()
         return state.select("id", "auth", "hub")
     finally:
         e_fwd.unpersist()

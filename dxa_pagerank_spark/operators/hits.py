@@ -15,9 +15,12 @@ Physical plan, per round: TWO rank-table shuffles (auth gather by dst,
 hub gather by src) against the edge table persisted in BOTH join
 orientations (src-partitioned for the auth gather, dst-partitioned for
 the hub gather) — the 100-TB side never moves in either half-step;
-map-side partial aggregation keeps each exchange at ~|V| rows. One
-action per round (the normalization sums) is the BSP barrier. Lineage
-truncated per round via localCheckpoint.
+map-side partial aggregation keeps each exchange at ~|V| rows. Each
+gather executes exactly once per round: its product is
+localCheckpoint-ed, the L1 total is then a trivial scan of the cached
+~|V| rows, and the normalizing division folds into the next half-step
+as a collected literal (the dangling-lump trick, pagerank.py; same
+restructuring as salsa.py).
 """
 
 from __future__ import annotations
@@ -54,23 +57,30 @@ def hits(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = verts.count()
-    state = verts.select(
+    state_ckpt = verts.select(
         "id", F.lit(1.0 / n).alias("hub"), F.lit(1.0 / n).alias("auth")
     ).localCheckpoint(eager=True)
+    state = state_ckpt
 
     try:
         for _ in range(rounds):
-            # auth step: pull hub mass along in-edges
+            # auth step: pull hub mass along in-edges. Checkpoint the
+            # gather product FIRST, take the L1 total from the cached
+            # ~|V| rows, and fold the division in as a literal —
+            # previously the un-materialized gather re-executed for
+            # the total and again in the hub half-step (same
+            # restructuring as salsa.py).
             a = (
                 e.join(state.select(F.col("id").alias("src"), "hub"), "src")
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.sum("hub").alias("a_raw"))
+                .localCheckpoint(eager=True)
             )
+            tot_a = a.agg(F.sum("a_raw")).collect()[0][0] or 1.0
             st = verts.join(a, "id", "left").select(
-                "id", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw")
+                "id",
+                (F.coalesce("a_raw", F.lit(0.0)) / tot_a).alias("auth"),
             )
-            tot_a = st.agg(F.sum("a_raw")).collect()[0][0] or 1.0
-            st = st.select("id", (F.col("a_raw") / tot_a).alias("auth"))
             # hub step: pull auth mass along out-edges
             h = (
                 e_bwd.join(st.select(F.col("id").alias("dst"), "auth"), "dst")
@@ -83,16 +93,19 @@ def hits(
                 .select(
                     "id", "auth", F.coalesce("h_raw", F.lit(0.0)).alias("h_raw")
                 )
+                .localCheckpoint(eager=True)
             )
             tot_h = st2.agg(F.sum("h_raw")).collect()[0][0] or 1.0
-            old = state
+            old = state_ckpt
+            state_ckpt = st2
             state = st2.select(
                 "id", (F.col("h_raw") / tot_h).alias("hub"), "auth"
-            ).localCheckpoint(eager=True)
+            )
             try:
                 old.unpersist()
             except Exception:
                 pass
+            a.unpersist()
         return state.select("id", "auth", "hub")
     finally:
         e.unpersist()

@@ -747,7 +747,10 @@ def elect_canonical(
     ``weights`` supplies that integer signal per doc (in-link count,
     n_chars, fetch freshness rank...); the winner is max weight with
     ties to the smaller id, so the election is exact integer
-    comparison — no float ordering, every engine replays it.
+    comparison — no float ordering, every engine replays it. A doc
+    with no weight row participates with weight 0 (left join +
+    coalesce) — every group member appears in the output exactly once
+    regardless of weight coverage.
 
     Physical shape at 100 TB: one doc-keyed equi-join to attach
     weights, then ONE map-side-combinable aggregation per group — the
@@ -755,14 +758,21 @@ def elect_canonical(
     and a group-keyed join back to members. Cluster size never appears
     squared anywhere.
     """
-    j = groups.select(
-        F.col(id_col).alias("doc_id"), F.col(group_col).alias("group_id")
-    ).join(
-        weights.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(weight_col).cast("long").alias("w"),
-        ),
-        "doc_id",
+    j = (
+        groups.select(
+            F.col(id_col).alias("doc_id"), F.col(group_col).alias("group_id")
+        )
+        .join(
+            weights.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(weight_col).cast("long").alias("w"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", "group_id", F.coalesce("w", F.lit(0)).alias("w")
+        )
     )
     winners = j.groupBy("group_id").agg(
         F.count(F.lit(1)).alias("group_size"),

@@ -103,9 +103,10 @@ def double_sweep_bound(
     deg = sym.groupBy(F.col("src").alias("id")).agg(
         F.count(F.lit(1)).alias("d")
     )
-    start = deg.orderBy(F.desc("d"), F.asc("id")).limit(1).collect()[0][
-        "id"
-    ]
+    start_rows = deg.orderBy(F.desc("d"), F.asc("id")).limit(1).collect()
+    if not start_rows:
+        raise ValueError("graph has no non-loop edges")
+    start = start_rows[0]["id"]
     l1 = bfs_levels(
         sym,
         spark.createDataFrame([(int(start),)], "id long"),

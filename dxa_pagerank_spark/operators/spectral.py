@@ -78,6 +78,8 @@ def fiedler_vector(
     stats = deg.agg(
         F.max("d").alias("max_d"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
+    if stats["max_d"] is None:
+        raise ValueError("graph has no non-loop edges")
     sigma = float(stats["max_d"] + 1)
     n = int(stats["n"])
     state = deg.select(

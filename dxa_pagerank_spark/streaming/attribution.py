@@ -28,7 +28,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_LAG = "click_ts >= view_ts AND click_ts <= view_ts + INTERVAL {m} MINUTES"
+def _window_cond(clicks: DataFrame, views: DataFrame, lookback_minutes: int):
+    """The one interval-join predicate both batch and stream share:
+    same user, click within [view_ts, view_ts + lookback]."""
+    return (
+        (clicks["user_id"] == views["v_user"])
+        & (clicks["click_ts"] >= views["view_ts"])
+        & (
+            clicks["click_ts"]
+            <= views["view_ts"]
+            + F.expr(f"INTERVAL {int(lookback_minutes)} MINUTES")
+        )
+    )
 
 
 def _split(events: DataFrame):
@@ -51,15 +62,7 @@ def attribution_pairs(
     """-> every (click, candidate view) pair within the lookback
     window — the raw interval-join output both modes share."""
     views, clicks = _split(events)
-    cond = (
-        (clicks["user_id"] == views["v_user"])
-        & (clicks["click_ts"] >= views["view_ts"])
-        & (
-            clicks["click_ts"]
-            <= views["view_ts"]
-            + F.expr(f"INTERVAL {int(lookback_minutes)} MINUTES")
-        )
-    )
+    cond = _window_cond(clicks, views, lookback_minutes)
     return clicks.join(views, cond, "inner").select(
         "click_id", "user_id", "click_ts", "view_id", "view_ts"
     )
@@ -108,15 +111,7 @@ def attribution_pairs_stream(
     views, clicks = _split(events_stream)
     views = views.withWatermark("view_ts", watermark)
     clicks = clicks.withWatermark("click_ts", watermark)
-    cond = (
-        (clicks["user_id"] == views["v_user"])
-        & (clicks["click_ts"] >= views["view_ts"])
-        & (
-            clicks["click_ts"]
-            <= views["view_ts"]
-            + F.expr(f"INTERVAL {int(lookback_minutes)} MINUTES")
-        )
-    )
+    cond = _window_cond(clicks, views, lookback_minutes)
     return clicks.join(views, cond, "inner").select(
         "click_id", "user_id", "click_ts", "view_id", "view_ts"
     )

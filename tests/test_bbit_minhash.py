@@ -100,3 +100,40 @@ def test_bbit_guards(spark):
         bbit_signatures(sigs, b=0)
     with pytest.raises(ValueError):
         bbit_estimate(sigs, None, b=40)
+
+
+def test_bbit_screen_margin_on_driver_corpus(spark):
+    """q_bbit_minhash_dedup's oracle equality is PROBABILISTIC: it
+    holds because every true pair's r_est sits far above the 0.5
+    screen (ADVICE r03). Pin that precondition: on the driver corpus
+    (sf0.001 documents, same n/num_hashes/bands/b as the query) the
+    minimum r_est over true pairs must clear the screen by >= 4 sigma
+    of the b-bit match fraction, so a fixture change eroding the slack
+    fails loudly HERE instead of as a driver hash-mismatch."""
+    import math
+
+    from dxa_pagerank_spark.functions.dedup import (
+        jaccard_verify,
+        lsh_candidate_edges_capped,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = shingles(docs, "doc_id", "text", 3).persist()
+    sigs = minhash_signatures(sh, 32)
+    cands = lsh_candidate_edges_capped(sigs, 8, 4, 64)
+    true_pairs = jaccard_verify(sh, cands, 0.8).select("doc_a", "doc_b")
+    est = bbit_estimate(bbit_signatures(sigs, 4), true_pairs, 4, 32)
+    row = est.agg(
+        F.min("r_est").alias("mn"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert row["n"] > 0  # corpus must actually contain near-dups
+    screen, b, k = 0.5, 4, 32
+    c = 2.0 ** -b
+    # sigma of p_match at the screen boundary, mapped through the
+    # bias correction: sqrt(p(1-p)/k) / (1-c) with p at the boundary
+    p_at_screen = screen * (1 - c) + c
+    sigma = math.sqrt(p_at_screen * (1 - p_at_screen) / k) / (1 - c)
+    assert row["mn"] >= screen + 4 * sigma, (
+        f"min r_est {row['mn']:.3f} within 4 sigma ({sigma:.3f}) of the "
+        f"0.5 screen - q_bbit_minhash_dedup's oracle contract is at risk"
+    )

@@ -3280,6 +3280,45 @@ _EXACT_JACCARD_PAIRS_SQL = """
         """
 
 
+def q_hyperball_anf(spark, sf_dir):
+    """HyperBall approximate neighborhood function (operators/anf.py,
+    Boldi-Vigna): per-vertex HLL counters (m=16, murmur3-fmix32 hashed)
+    absorb out-neighbor registers for 3 rounds over the synthetic web
+    graph, then estimate |out-ball(v, 3)| with the standard
+    linear-counting small-range branch. Fully deterministic — the
+    oracle replays the identical register recurrence in long format
+    (id, j, w) with the same fmix32 arithmetic and the same
+    left-associated 2^-w fold."""
+    from dxa_pagerank_spark.operators.anf import hyperball
+
+    return hyperball(spark, _web_edges(spark, sf_dir), rounds=3).select(
+        "id", "zeros", F.round("est", 6).alias("est")
+    )
+
+
+def q_encoding_quality(spark, sf_dir):
+    """Mojibake / decode-failure scoring (functions/encoding.py) over
+    a deterministically corrupted copy of the corpus: doc_id%7 gains a
+    UTF-8-as-cp1252 apostrophe digraph, %11 a U+FFFD replacement char,
+    %13 a C0 control byte (the base corpus is pure-ASCII word soup, so
+    the closed-form oracle counts exactly the injections)."""
+    from dxa_pagerank_spark.functions.encoding import encoding_quality
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.col("text")
+    t = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(t, F.lit(" donâ€™t")),
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 11 == 0, F.concat(t, F.lit("�"))
+    ).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 13 == 0, F.concat(t, F.lit(""))
+    ).otherwise(t)
+    return encoding_quality(docs.select("doc_id", t.alias("text")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver-verification priority. The driver
     checks a 50-query prefix of this dict per round (CORRECTNESS_r02/
@@ -3310,6 +3349,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_prune": q_semdedup_prune,
         "pq_topk": q_pq_topk,
         "textrank_keywords": q_textrank_keywords,
+        # new this round (r04): no driver row yet, cheap
+        "hyperball_anf": q_hyperball_anf,
+        "encoding_quality": q_encoding_quality,
         "fixed_chunks": q_fixed_chunks,
         "jl_projection": q_jl_projection,
         "phrase_search": q_phrase_search,
@@ -6752,6 +6794,67 @@ _LANG_ID_SQL = r"""
         """
 
 
+def _hyperball_sql(
+    rounds: int = 3, p: int = 4, edges_sql: str = _WEB_EDGES_SQL
+) -> str:
+    """Long-format replay of operators/anf.py hyperball: the identical
+    fmix32 register law (16-bit-split multiplies, high-bit index,
+    trailing-zero rho), k rounds of (id, j, max w) propagation along
+    out-edges, then the same left-associated 2^-w fold and
+    linear-counting branch. Ends with CTE est(id, zeros, est)."""
+    m = 1 << p
+    lowmask = (1 << (32 - p)) - 1
+    alpha_mm = repr(0.673 * m * m)  # exact double literal, both engines
+    mul1, mul2 = 0x85EBCA6B, 0xC2B2AE35
+
+    def mul32(h: str, c: int) -> str:
+        return (
+            f"((({h}) & 65535) * {c} + "
+            f"(((({h}) >> 16) * {c}) & 65535) * 65536) & 4294967295"
+        )
+
+    parts = [
+        f"WITH we AS MATERIALIZED ({edges_sql})",
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM we"
+        " WHERE src <> dst)",
+        "verts AS MATERIALIZED (SELECT src AS id FROM e"
+        " UNION SELECT dst FROM e)",
+        "h0 AS (SELECT id, id % 2147483648 AS h FROM verts)",
+        "h1 AS (SELECT id, xor(h, h >> 16) AS h FROM h0)",
+        f"h2 AS (SELECT id, {mul32('h', mul1)} AS h FROM h1)",
+        "h3 AS (SELECT id, xor(h, h >> 13) AS h FROM h2)",
+        f"h4 AS (SELECT id, {mul32('h', mul2)} AS h FROM h3)",
+        "hx AS MATERIALIZED (SELECT id, xor(h, h >> 16) AS h FROM h4)",
+        f"r0 AS MATERIALIZED (SELECT id, h >> {32 - p} AS j,"
+        f" CASE WHEN (h & {lowmask}) = 0 THEN {32 - p + 1}"
+        f" ELSE bit_count(((h & {lowmask}) & -(h & {lowmask})) - 1) + 1"
+        " END AS w FROM hx)",
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f"r{t} AS MATERIALIZED (SELECT id, j, max(w) AS w FROM ("
+            f"SELECT id, j, w FROM r{t - 1} UNION ALL "
+            f"SELECT e.src AS id, r.j, r.w FROM e"
+            f" JOIN r{t - 1} r ON e.dst = r.id) GROUP BY id, j)"
+        )
+    pivots = ", ".join(
+        f"coalesce(max(w) FILTER (WHERE j = {i}), 0) AS s{i}"
+        for i in range(m)
+    )
+    ssum = " + ".join(f"pow(2.0, -s{i})" for i in range(m))
+    zsum = " + ".join(
+        f"(CASE WHEN s{i} = 0 THEN 1 ELSE 0 END)" for i in range(m)
+    )
+    parts += [
+        f"piv AS (SELECT id, {pivots} FROM r{rounds} GROUP BY id)",
+        f"fold AS (SELECT id, ({ssum}) AS s, ({zsum}) AS zeros FROM piv)",
+        f"est AS (SELECT id, zeros, CASE WHEN {alpha_mm} / s <= {2.5 * m}"
+        f" AND zeros > 0 THEN {float(m)} * ln({float(m)} / zeros)"
+        f" ELSE {alpha_mm} / s END AS est FROM fold)",
+    ]
+    return ",\n".join(parts) + "\n"
+
+
 def oracle_sql() -> dict[str, str]:
     from dxa_pagerank_spark.functions.sampling import temperature_sample_sql
 
@@ -7986,6 +8089,23 @@ def oracle_sql() -> dict[str, str]:
                    round(n_hosts::DOUBLE / n_inlinks, 6)
                        AS host_diversity
             FROM a
+        """,
+        "hyperball_anf": _hyperball_sql(3, 4)
+        + "SELECT id, zeros::BIGINT AS zeros, round(est, 6) AS est"
+        " FROM est",
+        "encoding_quality": """
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0
+                    END)::BIGINT AS n_replacement,
+                   (CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0
+                    END)::BIGINT AS n_mojibake,
+                   (CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0
+                    END)::BIGINT AS n_ctrl,
+                   CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0
+                        THEN 'bad'
+                        WHEN doc_id % 7 = 0 THEN 'suspect'
+                        ELSE 'clean' END AS verdict
+            FROM documents
         """,
         "change_rates": """
             WITH cls AS (

@@ -719,3 +719,46 @@ def test_session_final_batch_plans(spark):
     assert "ArrowEvalPython" not in p
     # the model join is a broadcast (vocabulary-domain table)
     assert "BroadcastHashJoin" in p
+
+
+def test_hyperball_gather_jvm_partial_agg(spark):
+    """One HyperBall round: pure JVM, and the 16 elementwise-MAX
+    aggregates partial-combine BEFORE the exchange (the register
+    product must shrink to ~|V| rows map-side)."""
+    from dxa_pagerank_spark.operators.anf import _initial_registers
+
+    src, dst = fast_synthetic_edges(2000, 4, seed=3)
+    edges = edges_to_spark(spark, src, dst)
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    r = _initial_registers(verts, 4)
+    nbr = (
+        edges.join(r.select(F.col("id").alias("dst"), "regs"), "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            F.array(*[F.max(F.col("regs")[i]) for i in range(16)]).alias(
+                "nbr_regs"
+            )
+        )
+    )
+    plan = _plan(nbr)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_encoding_quality_is_pure_projection(spark):
+    """encoding_quality must compile to a single JVM projection —
+    no exchange, no Python."""
+    from dxa_pagerank_spark.functions.encoding import encoding_quality
+
+    docs = spark.createDataFrame(
+        [(1, "plain"), (2, "donâ€™t")], "doc_id long, text string"
+    )
+    plan = _plan(encoding_quality(docs))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan

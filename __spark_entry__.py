@@ -3319,6 +3319,44 @@ def q_encoding_quality(spark, sf_dir):
     return encoding_quality(docs.select("doc_id", t.alias("text")))
 
 
+def q_convergence_certificate(spark, sf_dir):
+    """Per-round convergence certificate of the df PageRank loop
+    (operators/pagerank.py convergence_certificate): the reference's
+    PRerr/PRsum scalars (MetaChunk.java:13-20) plus the contraction
+    bound d/(1-d) * l1_delta on the distance to the fixpoint. The
+    oracle replays the 4-round unrolled recurrence and differences
+    consecutive non-dangling rank vectors."""
+    from dxa_pagerank_spark.operators.pagerank import (
+        convergence_certificate,
+        pagerank,
+    )
+
+    res = pagerank(
+        spark, _edges(spark, sf_dir), threshold=0.0, max_rounds=4
+    )
+    cert = convergence_certificate(spark, res, damping=0.85)
+    return cert.select(
+        "round",
+        F.round("l1_delta", 6).alias("l1_delta"),
+        F.round("mass_residual", 6).alias("mass_residual"),
+        F.round("geo_bound", 6).alias("geo_bound"),
+    )
+
+
+def q_leakage_split(spark, sf_dir):
+    """Leakage-safe train/val/test assignment (functions/splits.py):
+    the split is hashed from the SITE (doc_id // 25, the corpus's site
+    rule) with fmix32, so near-duplicate pages of one site can never
+    straddle the train/test fence. Oracle replays the identical fmix32
+    bucket arithmetic in SQL."""
+    from dxa_pagerank_spark.functions.splits import leakage_safe_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return leakage_safe_split(
+        docs, F.floor(F.col("doc_id") / 25), train_pct=80, val_pct=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order = driver-verification priority. The driver
     checks a 50-query prefix of this dict per round (CORRECTNESS_r02/
@@ -3352,6 +3390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new this round (r04): no driver row yet, cheap
         "hyperball_anf": q_hyperball_anf,
         "encoding_quality": q_encoding_quality,
+        "convergence_certificate": q_convergence_certificate,
+        "leakage_split": q_leakage_split,
         "fixed_chunks": q_fixed_chunks,
         "jl_projection": q_jl_projection,
         "phrase_search": q_phrase_search,
@@ -6794,6 +6834,32 @@ _LANG_ID_SQL = r"""
         """
 
 
+def _mul32_sql(h: str, c: int) -> str:
+    """Exact 32-bit modular multiply (16-bit split), the SQL mirror of
+    operators/anf.py _mul32."""
+    return (
+        f"((({h}) & 65535) * {c} + "
+        f"(((({h}) >> 16) * {c}) & 65535) * 65536) & 4294967295"
+    )
+
+
+def _fmix32_stages_sql(src_cte: str, keep: str, expr: str) -> str:
+    """CTE chain applying the murmur3 fmix32 finalizer to `expr` from
+    `src_cte`, carrying the `keep` columns; ends with CTE fx(keep, h).
+    Mirrors operators/anf.py fmix32 stage for stage."""
+    return (
+        f"f0 AS (SELECT {keep}, ({expr}) % 2147483648 AS h"
+        f" FROM {src_cte}),\n"
+        f"f1 AS (SELECT {keep}, xor(h, h >> 16) AS h FROM f0),\n"
+        f"f2 AS (SELECT {keep}, {_mul32_sql('h', 0x85EBCA6B)} AS h"
+        " FROM f1),\n"
+        f"f3 AS (SELECT {keep}, xor(h, h >> 13) AS h FROM f2),\n"
+        f"f4 AS (SELECT {keep}, {_mul32_sql('h', 0xC2B2AE35)} AS h"
+        " FROM f3),\n"
+        f"fx AS (SELECT {keep}, xor(h, h >> 16) AS h FROM f4)"
+    )
+
+
 def _hyperball_sql(
     rounds: int = 3, p: int = 4, edges_sql: str = _WEB_EDGES_SQL
 ) -> str:
@@ -6806,12 +6872,7 @@ def _hyperball_sql(
     lowmask = (1 << (32 - p)) - 1
     alpha_mm = repr(0.673 * m * m)  # exact double literal, both engines
     mul1, mul2 = 0x85EBCA6B, 0xC2B2AE35
-
-    def mul32(h: str, c: int) -> str:
-        return (
-            f"((({h}) & 65535) * {c} + "
-            f"(((({h}) >> 16) * {c}) & 65535) * 65536) & 4294967295"
-        )
+    mul32 = _mul32_sql
 
     parts = [
         f"WITH we AS MATERIALIZED ({edges_sql})",
@@ -8093,6 +8154,31 @@ def oracle_sql() -> dict[str, str]:
         "hyperball_anf": _hyperball_sql(3, 4)
         + "SELECT id, zeros::BIGINT AS zeros, round(est, 6) AS est"
         " FROM est",
+        "convergence_certificate": _pagerank_rounds_sql(4)
+        + ",\ncert AS ("
+        + " UNION ALL ".join(
+            f"SELECT {i}::BIGINT AS round,"
+            f" (SELECT sum(abs(a.rank - b.rank)) FROM r{i} a"
+            f" JOIN r{i - 1} b ON a.id = b.id) AS e,"
+            f" (SELECT mass FROM d{i}) AS m"
+            for i in range(1, 5)
+        )
+        + f""")
+            SELECT round, round(e, 6) AS l1_delta,
+                   round(m, 6) AS mass_residual,
+                   round(e * {0.85 / 0.15!r}, 6) AS geo_bound
+            FROM cert
+        """,
+        "leakage_split": "WITH g AS (SELECT doc_id,"
+        " doc_id // 25 AS group_id FROM documents),\n"
+        + _fmix32_stages_sql("g", "doc_id, group_id", "group_id")
+        + """
+            SELECT doc_id, group_id, (h % 100)::BIGINT AS bucket,
+                   CASE WHEN h % 100 < 80 THEN 'train'
+                        WHEN h % 100 < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM fx
+        """,
         "encoding_quality": """
             SELECT doc_id,
                    (CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0

@@ -376,3 +376,33 @@ def pagerank(
             except Exception:
                 pass
     return result
+
+
+def convergence_certificate(
+    spark: SparkSession, result: PageRankResult, damping: float = 0.85
+) -> DataFrame:
+    """-> (round, l1_delta, mass_residual, geo_bound): the per-round
+    convergence certificate of a finished pagerank() run.
+
+    l1_delta is the reference's PRerr (L1 over non-dangling updates,
+    MetaChunk.java:13) and mass_residual its conservation-inferred
+    dangling mass; geo_bound = damping/(1-damping) * l1_delta is the
+    standard contraction certificate: the power iteration is a
+    damping-Lipschitz map in L1, so the distance to the fixpoint after
+    round t is at most d/(1-d) times the last step — the number a user
+    reads to decide "converged enough" without knowing the true ranks.
+
+    Driver-side build from the MetaChunk-sized per-round scalar lists
+    (the reference's own master-side pattern) — rounds x 3 doubles, no
+    cluster work."""
+    factor = damping / (1.0 - damping)
+    rows = [
+        (i + 1, float(e), float(m), float(e) * factor)
+        for i, (e, m) in enumerate(
+            zip(result.errors, result.dangling_mass)
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "round long, l1_delta double, mass_residual double,"
+        " geo_bound double"
+    )

@@ -31,6 +31,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _parquet_num_rows(sf_dir: str, name: str) -> int:
+    """Table row count from parquet footer metadata only — no data
+    scan. Handles both a single file and a part-file directory."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(f"{sf_dir}/{name}.parquet").count_rows()
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical graph projection (FIXTURES.md F5): l_orderkey -> l_suppkey."""
     return _t(spark, sf_dir, "lineitem").select(
@@ -1174,12 +1182,26 @@ def q_change_rates(spark, sf_dir):
     # (as old and as new), and without the cache the pages projection is
     # recomputed 4x instead of 3.
     cycles = {t: cycle(t).persist() for t in (1, 2, 3)}
-    obs = None
-    for t in (2, 3):
-        d = crawl_delta(cycles[t - 1], cycles[t]).filter(
-            F.col("status").isin(["changed", "unchanged"])
-        ).select("url", (F.col("status") == "changed").alias("changed"))
-        obs = d if obs is None else obs.unionAll(d)
+    try:
+        obs = None
+        for t in (2, 3):
+            d = crawl_delta(cycles[t - 1], cycles[t]).filter(
+                F.col("status").isin(["changed", "unchanged"])
+            ).select(
+                "url", (F.col("status") == "changed").alias("changed")
+            )
+            obs = d if obs is None else obs.unionAll(d)
+        # materialize the (url, changed) observations so the cycle
+        # caches can be dropped before returning — without this the
+        # three persisted projections leak into the rest of a
+        # 185-query contract/driver session
+        obs = obs.localCheckpoint(eager=True)
+    finally:
+        for c in cycles.values():
+            try:
+                c.unpersist()
+            except Exception:
+                pass
     return change_rate(obs, interval_days=1.0).select(
         "url",
         "n_obs",
@@ -2579,7 +2601,10 @@ def q_ann_topk_ivf(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
+    # row count from the parquet footer (metadata-only) so the index
+    # build never scans the corpus just to pick the centroid stride
+    n = _parquet_num_rows(sf_dir, "embeddings")
+    return ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4, n=n)
 
 
 def q_url_canonical(spark, sf_dir):
@@ -6841,9 +6866,14 @@ def _mul32_sql(h: str, c: int) -> str:
 def _fmix32_stages_sql(src_cte: str, keep: str, expr: str) -> str:
     """CTE chain applying the murmur3 fmix32 finalizer to `expr` from
     `src_cte`, carrying the `keep` columns; ends with CTE fx(keep, h).
-    Mirrors operators/anf.py fmix32 stage for stage."""
+    Mirrors operators/anf.py fmix32 stage for stage. The first fold is
+    sign-safe (double mod) because DuckDB `%` keeps the dividend's
+    sign while Spark's F.pmod is always non-negative — a negative
+    input (e.g. an xxhash64 group key) must land on the same residue
+    in both engines."""
     return (
-        f"f0 AS (SELECT {keep}, ({expr}) % 2147483648 AS h"
+        f"f0 AS (SELECT {keep}, ((({expr}) % 2147483648) + 2147483648)"
+        f" % 2147483648 AS h"
         f" FROM {src_cte}),\n"
         f"f1 AS (SELECT {keep}, xor(h, h >> 16) AS h FROM f0),\n"
         f"f2 AS (SELECT {keep}, {_mul32_sql('h', 0x85EBCA6B)} AS h"
@@ -6873,9 +6903,14 @@ def _hyperball_sql(
         f"WITH we AS MATERIALIZED ({edges_sql})",
         "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM we"
         " WHERE src <> dst)",
-        "verts AS MATERIALIZED (SELECT src AS id FROM e"
-        " UNION SELECT dst FROM e)",
-        "h0 AS (SELECT id, id % 2147483648 AS h FROM verts)",
+        # vertex universe from the RAW edge set (a vertex appearing
+        # only in self-loop edges still exists, ball = {itself}),
+        # matching operators/anf.py hyperball's verts
+        "verts AS MATERIALIZED (SELECT src AS id FROM we"
+        " UNION SELECT dst FROM we)",
+        # sign-safe first fold: DuckDB % keeps sign, Spark pmod doesn't
+        "h0 AS (SELECT id, ((id % 2147483648) + 2147483648)"
+        " % 2147483648 AS h FROM verts)",
         "h1 AS (SELECT id, xor(h, h >> 16) AS h FROM h0)",
         f"h2 AS (SELECT id, {mul32('h', mul1)} AS h FROM h1)",
         "h3 AS (SELECT id, xor(h, h >> 13) AS h FROM h2)",

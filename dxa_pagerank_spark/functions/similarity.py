@@ -150,10 +150,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    n: int | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: partition the corpus into
     ``n_centroids`` inverted lists by nearest centroid, search only the
     ``nprobe`` lists nearest each query.
+
+    ``n`` is the corpus row count, used only to pick the centroid
+    stride. Pass it when known (e.g. from parquet footer metadata) —
+    otherwise a ``corpus.count()`` action runs here, one extra scan
+    whose only purpose is the stride.
 
     Centroids are a deterministic arithmetic sample of the corpus
     itself (every ``stride = n // n_centroids``-th id) rather than
@@ -173,7 +179,8 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    n = corpus.count()
+    if n is None:
+        n = corpus.count()
     stride = max(n // n_centroids, 1)
     cents = (
         corpus.filter(

@@ -36,6 +36,10 @@ def leakage_safe_split(
     """-> (doc_id, group_id, bucket, split): every row of one group
     shares one split. `group_col` is the leakage unit (site id, domain
     hash...); fractions are integer percents (test = remainder)."""
+    if not (isinstance(train_pct, int) and isinstance(val_pct, int)):
+        raise TypeError("train_pct and val_pct must be integers")
+    if train_pct <= 0 or val_pct < 0:
+        raise ValueError("need train_pct > 0 and val_pct >= 0")
     if not 0 < train_pct + val_pct < 100:
         raise ValueError("train_pct + val_pct must be in (0, 100)")
     g = group_col.cast("long")

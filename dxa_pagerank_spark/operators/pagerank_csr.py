@@ -78,6 +78,7 @@ def pagerank_csr(
     max_rounds: int = 50,
     num_partitions: int | None = None,
     exchange: str = "auto",
+    max_broadcast_vertices: int | None = None,
 ) -> PageRankResult:
     """Reference-semantics PageRank with the Arrow/NumPy gather kernel.
     Returns ranks as a DataFrame like pagerank().
@@ -85,6 +86,11 @@ def pagerank_csr(
     exchange: "shm" (tmpfs memory-mapped rank exchange, local masters
     only), "broadcast" (sc.broadcast + driver assembly, any master),
     or "auto" (shm when available, else broadcast).
+
+    max_broadcast_vertices bounds the broadcast exchange's
+    driver-side degree/rank materialization (default
+    _MAX_BROADCAST_VERTICES); above it the call fails loudly and
+    points at operators.pagerank, the shuffle-loop 100-TB path.
     """
     if exchange == "auto":
         exchange = "shm" if _shm_available(spark) else "broadcast"
@@ -113,6 +119,11 @@ def pagerank_csr(
             return _pagerank_csr_broadcast(
                 spark, edges, num_vertices, damping, threshold, max_rounds,
                 num_partitions,
+                max_vertices=(
+                    max_broadcast_vertices
+                    if max_broadcast_vertices is not None
+                    else _MAX_BROADCAST_VERTICES
+                ),
             )
         raise ValueError(f"unknown exchange mode {exchange!r}")
     finally:
@@ -468,6 +479,13 @@ def _pagerank_csr_shm(
 # broadcast exchange (any master): sc.broadcast ranks, driver assembly
 # ---------------------------------------------------------------------------
 
+# The broadcast exchange materializes the full degree table and the
+# dense rank vector on the driver (O(|V|) rows / 8 B per vertex). Cap
+# it loudly rather than letting a 100-TB-scale graph silently OOM the
+# driver; override via pagerank_csr(..., max_broadcast_vertices=...).
+_MAX_BROADCAST_VERTICES = 200_000_000  # ~1.6 GB rank vector
+
+
 def _pagerank_csr_broadcast(
     spark: SparkSession,
     edges: DataFrame,
@@ -476,7 +494,18 @@ def _pagerank_csr_broadcast(
     threshold: float,
     max_rounds: int,
     num_partitions: int | None,
+    max_vertices: int = _MAX_BROADCAST_VERTICES,
 ) -> PageRankResult:
+    if num_vertices > max_vertices:
+        raise ValueError(
+            f"pagerank_csr broadcast exchange: num_vertices="
+            f"{num_vertices:,} exceeds the driver-materialization cap "
+            f"({max_vertices:,}). This single-box accelerator collects "
+            "the degree table and assembles the dense rank vector on "
+            "the driver; beyond the cap use operators.pagerank (the "
+            "shuffle df loop — the 100-TB path) or raise "
+            "max_broadcast_vertices explicitly."
+        )
     sc = spark.sparkContext
     num_partitions = num_partitions or sc.defaultParallelism
     n = num_vertices

@@ -35,6 +35,36 @@ def _edges(spark, pairs):
     return spark.createDataFrame(pairs, "src long, dst long")
 
 
+def test_fmix32_sql_mirror_sign_safe(spark):
+    """The DuckDB mirror (_fmix32_stages_sql) must equal Spark fmix32
+    on NEGATIVE inputs too: DuckDB % keeps the dividend's sign while
+    F.pmod never goes negative, so the mirror's first fold is a double
+    mod (ADVICE r04). Signed keys are real — xxhash64 group ids."""
+    import duckdb
+
+    from __spark_entry__ import _fmix32_stages_sql
+    from dxa_pagerank_spark.operators.anf import fmix32
+
+    vals = [-(2**40) - 7, -2147483649, -1, 0, 1, 12345, 2**31, 2**40 + 3]
+    sdf = spark.createDataFrame([(v,) for v in vals], "v long")
+    got_spark = {
+        r["v"]: r["h"]
+        for r in sdf.select("v", fmix32(F.col("v")).alias("h")).collect()
+    }
+    sql = (
+        "WITH g AS (SELECT * FROM (VALUES "
+        + ", ".join(f"({v})" for v in vals)
+        + ") t(v)),\n"
+        + _fmix32_stages_sql("g", "v", "v")
+        + "\nSELECT v, h FROM fx"
+    )
+    got_duck = {int(v): int(h) for v, h in duckdb.sql(sql).fetchall()}
+    assert got_duck == got_spark
+    # and both equal the python reference model
+    for v in vals:
+        assert got_spark[v] == _fmix32(v)
+
+
 def test_initial_registers_one_hot(spark):
     verts = spark.range(50).select(F.col("id"))
     rows = _initial_registers(verts, p=4).collect()

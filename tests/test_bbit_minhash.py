@@ -102,7 +102,7 @@ def test_bbit_guards(spark):
         bbit_estimate(sigs, None, b=40)
 
 
-def test_bbit_screen_margin_on_driver_corpus(spark):
+def test_bbit_screen_margin_on_driver_corpus(spark, sf0001_documents):
     """q_bbit_minhash_dedup's oracle equality is PROBABILISTIC: it
     holds because every true pair's r_est sits far above the 0.5
     screen (ADVICE r03). Pin that precondition: on the driver corpus
@@ -117,7 +117,7 @@ def test_bbit_screen_margin_on_driver_corpus(spark):
         lsh_candidate_edges_capped,
     )
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs = spark.read.parquet(sf0001_documents)
     sh = shingles(docs, "doc_id", "text", 3).persist()
     sigs = minhash_signatures(sh, 32)
     cands = lsh_candidate_edges_capped(sigs, 8, 4, 64)

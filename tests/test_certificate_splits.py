@@ -81,3 +81,35 @@ def test_split_fraction_guard(spark):
         leakage_safe_split(
             docs, F.col("doc_id"), train_pct=90, val_pct=10
         )
+    # individually-invalid fractions that used to slip the sum check
+    with pytest.raises(ValueError):
+        leakage_safe_split(
+            docs, F.col("doc_id"), train_pct=-10, val_pct=50
+        )
+    with pytest.raises(ValueError):
+        leakage_safe_split(
+            docs, F.col("doc_id"), train_pct=60, val_pct=-5
+        )
+    with pytest.raises(TypeError):
+        leakage_safe_split(
+            docs, F.col("doc_id"), train_pct=60.0, val_pct=10
+        )
+
+
+def test_split_negative_group_ids(spark):
+    """Signed group keys (the docstring invites 'domain hash' ids,
+    e.g. xxhash64 output) must bucket into [0, 100) and stay
+    group-constant — this is the operator side of the sign-safe
+    fmix32 SQL-mirror fix (ADVICE r04)."""
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(100)], "doc_id long, text string"
+    )
+    out = leakage_safe_split(
+        docs, (F.col("doc_id") - 50), train_pct=80, val_pct=10
+    ).collect()
+    assert len(out) == 100
+    assert all(0 <= r["bucket"] < 100 for r in out)
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["group_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())

@@ -127,3 +127,26 @@ def test_auto_mode_falls_back_to_broadcast_on_oversized_partitions(spark):
             spark, edges, num_vertices=n, threshold=1e-8, max_rounds=5,
             num_partitions=too_many, exchange="shm",
         )
+
+
+def test_broadcast_exchange_vertex_cap_guard(spark):
+    """VERDICT r04 #4: the broadcast exchange materializes the degree
+    table and rank vector on the driver, so an over-cap num_vertices
+    must fail loudly (pointing at the df loop) BEFORE any job runs,
+    and the cap must be overridable."""
+    import pytest
+
+    n = 50
+    src, dst = synthetic_edges(n, 0.6, 4, 5, n_slaves=1)
+    edges = edges_to_spark(spark, src, dst)
+    with pytest.raises(ValueError, match="operators.pagerank"):
+        pagerank_csr(
+            spark, edges, num_vertices=n, threshold=1e-8, max_rounds=5,
+            exchange="broadcast", max_broadcast_vertices=10,
+        )
+    # raising the cap explicitly re-enables the run
+    res = pagerank_csr(
+        spark, edges, num_vertices=n, threshold=1e-8, max_rounds=40,
+        exchange="broadcast", max_broadcast_vertices=n,
+    )
+    assert res.converged

@@ -85,7 +85,7 @@ def _df_synth_worker() -> None:
     synth = spark.read.parquet(SYNTH_CACHE)
     t0 = time.monotonic()
     res = pagerank(
-        spark, synth, damping=0.85, threshold=1e-15,
+        spark, synth, num_vertices=SYNTH_N, damping=0.85, threshold=1e-15,
         max_rounds=DF_ROUNDS, num_partitions=CPUS,
     )
     wall = time.monotonic() - t0
@@ -267,7 +267,7 @@ def main() -> None:
     if df_wall is None:
         t0 = time.monotonic()
         df_res = pagerank(
-            spark, synth, damping=0.85, threshold=1e-15,
+            spark, synth, num_vertices=SYNTH_N, damping=0.85, threshold=1e-15,
             max_rounds=DF_ROUNDS, num_partitions=CPUS,
         )
         df_wall = time.monotonic() - t0

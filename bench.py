@@ -218,6 +218,30 @@ def main() -> None:
             F.countDistinct("community")
         ).collect(),
     )
+    # r04 operators as cheap legs so regressions in them stay visible
+    # (VERDICT r04 #7)
+    timed(
+        "hyperball_sf",
+        lambda: entrymod.q_hyperball_anf(spark, SF_DIR).agg(
+            F.sum("est")
+        ).collect(),
+    )
+    timed(
+        "encoding_quality_sf",
+        lambda: entrymod.q_encoding_quality(spark, SF_DIR).agg(
+            F.sum("n_mojibake")
+        ).collect(),
+    )
+    timed(
+        "convergence_cert_sf",
+        lambda: entrymod.q_convergence_certificate(spark, SF_DIR).count(),
+    )
+    timed(
+        "leakage_split_sf",
+        lambda: entrymod.q_leakage_split(spark, SF_DIR).agg(
+            F.countDistinct("split")
+        ).collect(),
+    )
 
     # --- synthetic PageRank hot loop: the BASELINE.json metric ---
     # csr (the north_star kernel) is the headline; the general df loop

@@ -89,7 +89,7 @@ def vertex_universe(
 
 def pagerank(
     spark: SparkSession,
-    edges: DataFrame,
+    edges: DataFrame | None,
     num_vertices: int | None = None,
     vertices: DataFrame | None = None,
     damping: float = 0.85,
@@ -103,8 +103,19 @@ def pagerank(
     hub_threshold: int = 100_000,
     ckpt_storage: StorageLevel | None = StorageLevel.DISK_ONLY,
     initial_ranks: DataFrame | None = None,
+    adjacency: DataFrame | None = None,
 ) -> PageRankResult:
     """Run reference-semantics PageRank over an edge DataFrame.
+
+    adjacency: optional prebuilt, already-partitioned (src, dst, w)
+    table — the bucketed-storage fast path (plans/bucketing.py). When
+    given, the per-run adjacency build (out-degree join + repartition
+    shuffle of the |E|-row side) is SKIPPED: the frame is persisted
+    and used as-is, trusting its storage partitioning (write it
+    hash-bucketed by ``src``, w = 1/out_deg counting multiplicity, so
+    the gather join starts from co-located buckets — zero Exchange on
+    the 100-TB side across every run that reads it). ``edges`` may be
+    None; incompatible with hub_salt (salt the stored table instead).
 
     initial_ranks: optional (id, rank) warm start — the incremental-
     crawl path: feed yesterday's converged ranks, iterate on today's
@@ -138,7 +149,18 @@ def pagerank(
     """
     num_partitions = num_partitions or spark.sparkContext.defaultParallelism
 
-    verts = vertex_universe(spark, edges, num_vertices, vertices)
+    if adjacency is not None and hub_salt > 1:
+        raise ValueError(
+            "pagerank: adjacency= is incompatible with hub_salt — salt "
+            "the stored adjacency table instead"
+        )
+    if edges is None:
+        if adjacency is None:
+            raise ValueError("pagerank: need edges or adjacency")
+        universe_edges = adjacency.select("src", "dst")
+    else:
+        universe_edges = edges
+    verts = vertex_universe(spark, universe_edges, num_vertices, vertices)
     # Size the universe AND pick the id width: when every id fits int32
     # (web graphs up to 2^31 vertices) the whole loop runs on 4-byte
     # keys — narrower shuffle rows and join keys each superstep. Output
@@ -162,43 +184,65 @@ def pagerank(
             and int(vrow["mn"]) >= -(2**31)
         )
     idx_t = "int" if use_int else "long"
-    edges = edges.select(
-        F.col("src").cast(idx_t).alias("src"), F.col("dst").cast(idx_t).alias("dst")
-    )
     verts = verts.select(F.col("id").cast(idx_t).alias("id"))
-    # deg feeds three independent materializations (adjacency weights,
-    # the initial rank table, the dangling complement) — cache the
-    # |V|-row table once instead of re-running the |E|-row groupBy.
-    deg = out_degrees(edges).persist(StorageLevel.MEMORY_AND_DISK)
-
-    # adj: the big, immutable side — partitioned once by the join key.
-    adj = edges.join(deg, edges.src == deg.id).select(
-        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
-    )
     hubs = None
-    if hub_salt > 1:
-        hubs = (
-            deg.filter(F.col("out_deg") >= hub_threshold)
-            .select("id")
+    deg = None
+    if adjacency is not None:
+        # Prebuilt (bucketed) adjacency: trust its storage partitioning
+        # — no out-degree join, no repartition shuffle of the |E| side.
+        adj = adjacency.select(
+            F.col("src").cast(idx_t).alias("src"),
+            F.col("dst").cast(idx_t).alias("dst"),
+            F.col("w").cast("double").alias("w"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        num_edges = adj.count()
+        nd_ids = (
+            adj.select(F.col("src").alias("id"))
+            .distinct()
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
-        adj = adj.join(
-            hubs.select(F.col("id").alias("_hub")), adj.src == F.col("_hub"), "left"
-        ).select(
-            "src",
-            "dst",
-            "w",
-            F.when(
-                F.col("_hub").isNotNull(), F.pmod(F.xxhash64("dst"), F.lit(hub_salt))
-            )
-            .otherwise(F.lit(0))
-            .cast("int")
-            .alias("salt"),
+    else:
+        edges = edges.select(
+            F.col("src").cast(idx_t).alias("src"),
+            F.col("dst").cast(idx_t).alias("dst"),
         )
-    adj = adj.repartition(num_partitions, "src").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    num_edges = adj.count()  # materialize the partitioned adjacency
+        # deg feeds three independent materializations (adjacency
+        # weights, the initial rank table, the dangling complement) —
+        # cache the |V|-row table once instead of re-running the
+        # |E|-row groupBy.
+        deg = out_degrees(edges).persist(StorageLevel.MEMORY_AND_DISK)
+
+        # adj: the big, immutable side — partitioned once by the join key.
+        adj = edges.join(deg, edges.src == deg.id).select(
+            "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
+        )
+        if hub_salt > 1:
+            hubs = (
+                deg.filter(F.col("out_deg") >= hub_threshold)
+                .select("id")
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            adj = adj.join(
+                hubs.select(F.col("id").alias("_hub")),
+                adj.src == F.col("_hub"),
+                "left",
+            ).select(
+                "src",
+                "dst",
+                "w",
+                F.when(
+                    F.col("_hub").isNotNull(),
+                    F.pmod(F.xxhash64("dst"), F.lit(hub_salt)),
+                )
+                .otherwise(F.lit(0))
+                .cast("int")
+                .alias("salt"),
+            )
+        adj = adj.repartition(num_partitions, "src").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        num_edges = adj.count()  # materialize the partitioned adjacency
+        nd_ids = deg.select("id")  # non-dangling vertex ids (out_deg >= 1)
 
     def gather(adj_df, ranks_df):
         """contribs(dst, contrib) = Σ rank(src)/out_deg(src), optionally
@@ -229,8 +273,6 @@ def pagerank(
         return joined.groupBy("dst").agg(
             F.sum(F.col("rank") * F.col("w")).alias("contrib")
         )
-
-    nd_ids = deg.select("id")  # non-dangling vertex ids (out_deg >= 1)
 
     # Dangling vertices and the slice of adj feeding them (restore pass).
     dang = verts.join(nd_ids, "id", "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
@@ -378,7 +420,10 @@ def pagerank(
     # cache hygiene: everything persisted inside this call is now either
     # consumed or checkpointed — release it so repeated pagerank() calls
     # in one session don't accumulate storage (VERDICT r01 #4).
-    for cached in (adj, dang, deg, hubs):
+    caches = [adj, dang, deg, hubs]
+    if adjacency is not None:
+        caches.append(nd_ids)
+    for cached in caches:
         if cached is not None:
             try:
                 cached.unpersist()

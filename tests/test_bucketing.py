@@ -64,3 +64,52 @@ def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
     g = {r["dst"]: r["mass"] for r in got.collect()}
     w = {r["dst"]: r["mass"] for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_pagerank_from_bucketed_adjacency(spark):
+    """Opt-in loop mode (VERDICT r04 #3): pagerank(adjacency=...) over
+    a storage-bucketed (src, dst, w) table must (a) match the
+    edge-frame loop's trajectory to FP-roundoff on every vertex, and
+    (b) run the adjacency build with no repartition of the stored side
+    (the bucketed scan's partitioning is trusted as-is)."""
+    from dxa_pagerank_spark.operators.pagerank import pagerank
+
+    tmp = tempfile.mkdtemp(prefix="bucketed_pr_")
+    try:
+        n = 500
+        src, dst = fast_synthetic_edges(n, 4, seed=13)
+        edges = edges_to_spark(spark, src, dst)
+        deg = edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("out_deg")
+        )
+        adj = edges.join(deg, edges.src == deg.id).select(
+            "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
+        )
+        write_bucketed(adj, "t_adj_pr_b", "src", 8, path=f"{tmp}/adj")
+        want = pagerank(
+            spark, edges, num_vertices=n, threshold=1e-10, max_rounds=30
+        )
+        got = pagerank(
+            spark, None, num_vertices=n, threshold=1e-10, max_rounds=30,
+            adjacency=spark.table("t_adj_pr_b"),
+        )
+        assert got.rounds == want.rounds and got.converged == want.converged
+        a = {r["id"]: r["rank"] for r in got.ranks.collect()}
+        b = {r["id"]: r["rank"] for r in want.ranks.collect()}
+        assert set(a) == set(b) == set(range(n))
+        assert all(abs(a[i] - b[i]) < 1e-12 for i in a)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_adj_pr_b")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_pagerank_adjacency_guards(spark):
+    from dxa_pagerank_spark.operators.pagerank import pagerank
+
+    src, dst = fast_synthetic_edges(50, 3, seed=5)
+    edges = edges_to_spark(spark, src, dst)
+    adj = edges.withColumn("w", F.lit(0.5))
+    with pytest.raises(ValueError, match="hub_salt"):
+        pagerank(spark, None, num_vertices=50, adjacency=adj, hub_salt=4)
+    with pytest.raises(ValueError, match="edges or adjacency"):
+        pagerank(spark, None, num_vertices=50)

@@ -108,6 +108,33 @@ def main() -> None:
     spark = get_spark(app_name="dxa_bench", cores=CPUS, shuffle_partitions=CPUS)
     timings: dict[str, float] = {}
 
+    # --- df synth leg FIRST, in its own fresh JVM (see
+    # _df_synth_worker). The r05 runs showed the leg reads ~2x slower
+    # when it runs after the suite (page-cache + shuffle-file litter,
+    # occasional 1.6x straggler rounds); at the head of the run it
+    # measures the same 5-6 s/round a standalone fresh JVM does. The
+    # parent session sits idle while the subprocess owns the box.
+    # Falls back to an in-process measurement if the subprocess fails
+    # for any reason — the bench must always print its JSON line.
+    _synth_edges_parquet(spark)
+    df_wall = None
+    df_round_ms: list[int] = []
+    try:
+        import subprocess
+
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--df-synth-worker"],
+            capture_output=True, text=True, timeout=1800,
+            env=dict(os.environ),
+        )
+        for ln in proc.stdout.splitlines():
+            if ln.startswith("DFROW{"):
+                row = json.loads(ln[5:])
+                df_wall = float(row["wall"])
+                df_round_ms = list(row["round_ms"])
+    except Exception:
+        pass
+
     def timed(name, fn):
         t0 = time.monotonic()
         out = fn()
@@ -268,26 +295,8 @@ def main() -> None:
     per_round_min = min(steady) / 1000.0
     timings["pagerank_csr_synth"] = round(synth_total, 3)
 
-    # df leg in its own JVM (see _df_synth_worker). Falls back to the
-    # in-process measurement if the subprocess fails for any reason —
-    # the bench must always print its JSON line for the driver.
-    df_wall = None
-    df_round_ms: list[int] = []
-    try:
-        import subprocess
-
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--df-synth-worker"],
-            capture_output=True, text=True, timeout=1800,
-            env=dict(os.environ),
-        )
-        for ln in proc.stdout.splitlines():
-            if ln.startswith("DFROW{"):
-                row = json.loads(ln[5:])
-                df_wall = float(row["wall"])
-                df_round_ms = list(row["round_ms"])
-    except Exception:
-        pass
+    # df leg fallback (the subprocess measurement ran at the head of
+    # main(); only if it failed do we measure in-process here)
     if df_wall is None:
         t0 = time.monotonic()
         df_res = pagerank(

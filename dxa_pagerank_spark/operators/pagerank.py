@@ -184,12 +184,27 @@ def pagerank(
             and int(vrow["mn"]) >= -(2**31)
         )
     idx_t = "int" if use_int else "long"
+    if adjacency is not None:
+        # The loop's id width must MATCH the stored table's: a
+        # narrowing cast on the stored side is a non-alias projection,
+        # which discards the bucketed scan's outputPartitioning and
+        # would re-Exchange the |E|-row side in every gather — the
+        # exact shuffle this mode exists to remove. The (tiny) rank
+        # table carries the stored width instead.
+        idx_t = dict(adjacency.dtypes).get("src", "long")
+        if idx_t not in ("int", "bigint", "long"):
+            raise ValueError(
+                f"pagerank: adjacency src must be int or bigint, got {idx_t}"
+            )
+        idx_t = "int" if idx_t == "int" else "long"
     verts = verts.select(F.col("id").cast(idx_t).alias("id"))
     hubs = None
     deg = None
     if adjacency is not None:
         # Prebuilt (bucketed) adjacency: trust its storage partitioning
         # — no out-degree join, no repartition shuffle of the |E| side.
+        # The casts below are identities by construction (idx_t taken
+        # from the table), so the alias chain and partitioning survive.
         adj = adjacency.select(
             F.col("src").cast(idx_t).alias("src"),
             F.col("dst").cast(idx_t).alias("dst"),

@@ -113,3 +113,66 @@ def test_pagerank_adjacency_guards(spark):
         pagerank(spark, None, num_vertices=50, adjacency=adj, hub_salt=4)
     with pytest.raises(ValueError, match="edges or adjacency"):
         pagerank(spark, None, num_vertices=50)
+
+
+def test_adjacency_mode_gather_plan_no_exchange_on_stored_side(spark):
+    """The point of pagerank(adjacency=...): the gather join must NOT
+    re-Exchange the stored (bucketed) side — only the small rank table
+    and the aggregate shuffle. Also pins the id-width rule: the loop
+    takes the stored table's width, so the prep casts are identities
+    and the bucketed scan's outputPartitioning survives (a narrowing
+    cast would be a non-alias projection and silently re-shuffle |E|
+    rows every round)."""
+    from pyspark.storagelevel import StorageLevel
+
+    tmp = tempfile.mkdtemp(prefix="bucketed_plan_")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        src, dst = fast_synthetic_edges(2000, 4, seed=11)
+        edges = edges_to_spark(spark, src, dst)
+        deg = edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("out_deg")
+        )
+        adjdf = edges.join(deg, edges.src == deg.id).select(
+            "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w")
+        )
+        write_bucketed(adjdf, "t_adj_plan_b", "src", 8, path=f"{tmp}/adj")
+        # identical prep to pagerank()'s adjacency branch: identity
+        # casts at the stored width (bigint here)
+        adj = (
+            spark.table("t_adj_plan_b")
+            .select(
+                F.col("src").cast("long").alias("src"),
+                F.col("dst").cast("long").alias("dst"),
+                F.col("w").cast("double").alias("w"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        adj.count()
+        ranks = (
+            spark.range(2000)
+            .select(
+                F.col("id").cast("long").alias("id"),
+                F.lit(0.0005).alias("rank"),
+            )
+            .repartition(8, "id")
+            .localCheckpoint(eager=True)
+        )
+        gather = (
+            adj.join(ranks, adj.src == ranks.id)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+        )
+        plan = _plan(gather)
+        n_exchanges = plan.count("+- Exchange") + plan.count(":- Exchange")
+        assert n_exchanges == 2  # ranks -> join, partial agg -> final
+        # the stored branch reads cache -> scan with nothing between
+        tree = plan.split("\n\n")[0]
+        adj_branch = tree[tree.index(":- ") : tree.index("+- Sort")]
+        assert "Exchange" not in adj_branch
+        assert "Bucketed: true" in plan
+        adj.unpersist()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_adj_plan_b")
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -90,3 +90,57 @@ def test_incremental_cc_equals_cold_for_any_growth(spark, edges, cut):
         for r in connected_components(spark, e_all).collect()
     }
     assert warm == cold
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fmix32_three_way_parity_any_int64(spark, vals):
+    """fmix32 must agree across (a) the Spark column expression, (b)
+    the DuckDB SQL mirror used by every oracle, and (c) the plain
+    python model — for ARBITRARY signed int64 keys. This pins the
+    sign-safe double-mod fold (ADVICE r04): DuckDB % keeps the
+    dividend's sign, F.pmod does not, and hypothesis hunts the
+    boundary cases (INT64_MIN, -1, 2^31 multiples) a fixture list
+    misses. Batched: one Spark/DuckDB round-trip per example."""
+    import duckdb
+
+    from __spark_entry__ import _fmix32_stages_sql
+    from dxa_pagerank_spark.operators.anf import fmix32
+    from pyspark.sql import functions as F
+
+    def model(v):
+        def mul32(h, c):
+            lo, hi = h & 0xFFFF, h >> 16
+            return ((lo * c) + ((hi * c & 0xFFFF) << 16)) & 0xFFFFFFFF
+
+        h = v % 2**31
+        h ^= h >> 16
+        h = mul32(h, 0x85EBCA6B)
+        h ^= h >> 13
+        h = mul32(h, 0xC2B2AE35)
+        return h ^ (h >> 16)
+
+    rows = [(i, v) for i, v in enumerate(vals)]
+    sdf = spark.createDataFrame(rows, "i long, v long")
+    got_spark = {
+        r["i"]: r["h"]
+        for r in sdf.select("i", fmix32(F.col("v")).alias("h")).collect()
+    }
+    sql = (
+        "WITH g AS (SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, CAST({v} AS BIGINT))" for i, v in rows)
+        + ") t(i, v)),\n"
+        + _fmix32_stages_sql("g", "i", "v")
+        + "\nSELECT i, h FROM fx"
+    )
+    got_duck = {int(i): int(h) for i, h in duckdb.sql(sql).fetchall()}
+    want = {i: model(v) for i, v in rows}
+    assert got_spark == want
+    assert got_duck == want

@@ -115,9 +115,12 @@ def worker(loop: str, cores: int, rounds: int) -> None:
             max_rounds=rounds, num_partitions=cores,
         )
     else:
+        # num_vertices=N matches the csr leg's [0, N) universe (the
+        # generator's contract) and skips the endpoint union-distinct
+        # — the r05 setup diet; per-round dataflow identical.
         res = pagerank(
-            spark, edges, damping=0.85, threshold=1e-15, max_rounds=rounds,
-            num_partitions=cores,
+            spark, edges, num_vertices=N, damping=0.85, threshold=1e-15,
+            max_rounds=rounds, num_partitions=cores,
         )
     # steady-state: drop the first 3 rounds (adjacency build, first
     # shuffle, JIT + Python-worker warm-up). The host is SHARED and its

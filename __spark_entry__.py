@@ -31,12 +31,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _parquet_num_rows(sf_dir: str, name: str) -> int:
+def _parquet_num_rows(sf_dir: str, name: str) -> int | None:
     """Table row count from parquet footer metadata only — no data
-    scan. Handles both a single file and a part-file directory."""
-    import pyarrow.dataset as ds
+    scan. Handles both a single file and a part-file directory.
+    Returns None when the path isn't a plain local path pyarrow can
+    open (e.g. a file:/hdfs:/s3a: URI only Spark resolves) — callers
+    fall back to counting through Spark."""
+    try:
+        import pyarrow.dataset as ds
 
-    return ds.dataset(f"{sf_dir}/{name}.parquet").count_rows()
+        return ds.dataset(f"{sf_dir}/{name}.parquet").count_rows()
+    except Exception:
+        return None
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -114,6 +114,12 @@ def main() -> None:
     # occasional 1.6x straggler rounds); at the head of the run it
     # measures the same 5-6 s/round a standalone fresh JVM does. The
     # parent session sits idle while the subprocess owns the box.
+    # Cold-cache caveat: on a machine without the /tmp edge cache, the
+    # parent generates the 55M-row graph here (driver-side numpy ->
+    # parquet) before pagerank_sf is timed — a one-time-per-machine
+    # heap event of the kind BENCH.md §7 documents. The r05 warm-cache
+    # A/B showed the sf suite unaffected by the subprocess itself
+    # (pagerank_sf 26.8 df-last vs 26.6 df-first).
     # Falls back to an in-process measurement if the subprocess fails
     # for any reason — the bench must always print its JSON line.
     _synth_edges_parquet(spark)

@@ -36,8 +36,11 @@ def leakage_safe_split(
     """-> (doc_id, group_id, bucket, split): every row of one group
     shares one split. `group_col` is the leakage unit (site id, domain
     hash...); fractions are integer percents (test = remainder)."""
-    if not (isinstance(train_pct, int) and isinstance(val_pct, int)):
-        raise TypeError("train_pct and val_pct must be integers")
+    for name, v in (("train_pct", train_pct), ("val_pct", val_pct)):
+        # bool is an int subclass — reject it explicitly, else
+        # train_pct=True validates and yields a silent 1%-train split
+        if isinstance(v, bool) or not isinstance(v, int):
+            raise TypeError(f"{name} must be an integer, got {v!r}")
     if train_pct <= 0 or val_pct < 0:
         raise ValueError("need train_pct > 0 and val_pct >= 0")
     if not 0 < train_pct + val_pct < 100:

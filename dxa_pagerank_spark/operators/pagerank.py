@@ -154,36 +154,10 @@ def pagerank(
             "pagerank: adjacency= is incompatible with hub_salt — salt "
             "the stored adjacency table instead"
         )
-    if edges is None:
-        if adjacency is None:
-            raise ValueError("pagerank: need edges or adjacency")
-        universe_edges = adjacency.select("src", "dst")
-    else:
-        universe_edges = edges
-    verts = vertex_universe(spark, universe_edges, num_vertices, vertices)
-    # Size the universe AND pick the id width: when every id fits int32
-    # (web graphs up to 2^31 vertices) the whole loop runs on 4-byte
-    # keys — narrower shuffle rows and join keys each superstep. Output
-    # ids are cast back to long for API stability. With num_vertices
-    # given (and no explicit vertex df) the universe is the contiguous
-    # range [0, N) by contract (the reference always knows N up front,
-    # MainPR.java:45), so both answers are closed-form — no job runs.
-    if num_vertices is not None and vertices is None:
-        n = num_vertices
-        use_int = num_vertices <= 2**31
-    else:
-        vrow = verts.agg(
-            F.count(F.lit(1)).alias("c"),
-            F.max("id").alias("mx"),
-            F.min("id").alias("mn"),
-        ).collect()[0]
-        n = num_vertices if num_vertices is not None else int(vrow["c"])
-        use_int = (
-            vrow["mx"] is not None
-            and int(vrow["mx"]) < 2**31
-            and int(vrow["mn"]) >= -(2**31)
-        )
-    idx_t = "int" if use_int else "long"
+    if edges is None and adjacency is None:
+        raise ValueError("pagerank: need edges or adjacency")
+    hubs = None
+    deg = None
     if adjacency is not None:
         # The loop's id width must MATCH the stored table's: a
         # narrowing cast on the stored side is a non-alias projection,
@@ -197,26 +171,66 @@ def pagerank(
                 f"pagerank: adjacency src must be int or bigint, got {idx_t}"
             )
         idx_t = "int" if idx_t == "int" else "long"
-    verts = verts.select(F.col("id").cast(idx_t).alias("id"))
-    hubs = None
-    deg = None
-    if adjacency is not None:
         # Prebuilt (bucketed) adjacency: trust its storage partitioning
         # — no out-degree join, no repartition shuffle of the |E| side.
         # The casts below are identities by construction (idx_t taken
         # from the table), so the alias chain and partitioning survive.
+        # Persisted FIRST so any universe derivation below reads the
+        # cache, not storage — one scan of the 100-TB side, not three.
         adj = adjacency.select(
             F.col("src").cast(idx_t).alias("src"),
             F.col("dst").cast(idx_t).alias("dst"),
             F.col("w").cast("double").alias("w"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
         num_edges = adj.count()
+        verts = vertex_universe(
+            spark, adj.select("src", "dst"), num_vertices, vertices
+        )
+        if num_vertices is not None and vertices is None:
+            n = num_vertices
+        else:
+            # only the size is needed — the id width is already fixed
+            # by the stored table, so no max/min aggregate
+            n = int(verts.count())
+        if idx_t == "int" and n > 2**31:
+            raise ValueError(
+                f"pagerank: adjacency stores int ids but the universe "
+                f"has {n:,} vertices (> 2^31) — rewrite the table with "
+                "bigint ids"
+            )
+        verts = verts.select(F.col("id").cast(idx_t).alias("id"))
         nd_ids = (
             adj.select(F.col("src").alias("id"))
             .distinct()
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
     else:
+        verts = vertex_universe(spark, edges, num_vertices, vertices)
+        # Size the universe AND pick the id width: when every id fits
+        # int32 (web graphs up to 2^31 vertices) the whole loop runs on
+        # 4-byte keys — narrower shuffle rows and join keys each
+        # superstep. Output ids are cast back to long for API
+        # stability. With num_vertices given (and no explicit vertex
+        # df) the universe is the contiguous range [0, N) by contract
+        # (the reference always knows N up front, MainPR.java:45), so
+        # both answers are closed-form — no job runs.
+        if num_vertices is not None and vertices is None:
+            n = num_vertices
+            use_int = num_vertices <= 2**31
+        else:
+            vrow = verts.agg(
+                F.count(F.lit(1)).alias("c"),
+                F.max("id").alias("mx"),
+                F.min("id").alias("mn"),
+            ).collect()[0]
+            n = num_vertices if num_vertices is not None else int(vrow["c"])
+            use_int = (
+                vrow["mx"] is not None
+                and int(vrow["mx"]) < 2**31
+                and int(vrow["mn"]) >= -(2**31)
+            )
+        idx_t = "int" if use_int else "long"
+        verts = verts.select(F.col("id").cast(idx_t).alias("id"))
         edges = edges.select(
             F.col("src").cast(idx_t).alias("src"),
             F.col("dst").cast(idx_t).alias("dst"),

@@ -113,3 +113,9 @@ def test_split_negative_group_ids(spark):
     for r in out:
         by_group.setdefault(r["group_id"], set()).add(r["split"])
     assert all(len(s) == 1 for s in by_group.values())
+
+
+def test_split_rejects_bool_percent(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(TypeError):
+        leakage_safe_split(docs, F.col("doc_id"), train_pct=True, val_pct=10)
